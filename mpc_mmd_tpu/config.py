@@ -1,0 +1,264 @@
+"""Configuration surface for the TPU-native MPC-MMD engine.
+
+One frozen-dataclass pytree replaces the reference's scattered constants
+(hard-coded throughout ``synthetic_static_obs/optimizer/cem.py:20-199`` and
+argparse CLIs duplicated across every entry script).  Every config object is
+hashable so it can be a static argument under ``jax.jit``.
+
+Numeric defaults reproduce the reference's "config surface"
+(see SURVEY.md §2.5; sources cited per field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+
+# ---------------------------------------------------------------------------
+# Enums-as-strings (kept as plain strings so configs stay trivially hashable
+# and serializable; validated at construction time).
+# ---------------------------------------------------------------------------
+
+RISK_MODES = ("mmd_opt", "mmd_random", "cvar", "saa", "det")
+NOISE_KINDS = ("gaussian", "beta")
+
+
+@dataclass(frozen=True)
+class HorizonConfig:
+    """Planning horizon.  Ref: synthetic_static_obs/optimizer/cem.py:37-52."""
+
+    t_fin: float = 15.0          # total horizon in seconds
+    num: int = 100               # trajectory samples over t_fin
+    num_prime: int = 50          # rollout / risk-evaluation sub-horizon
+    order: int = 10              # Bernstein polynomial order  (cem.py:46)
+
+    @property
+    def dt(self) -> float:
+        return self.t_fin / self.num
+
+    @property
+    def nvar(self) -> int:
+        return self.order + 1
+
+
+@dataclass(frozen=True)
+class VehicleConfig:
+    """Bicycle-model limits.  Ref: synthetic_static_obs/optimizer/cem.py:24-35."""
+
+    wheel_base: float = 2.5
+    v_min: float = 0.1
+    v_max: float = 30.0
+    a_max: float = 18.0
+    steer_max: float = 0.6
+    steer_rate_max: float = 0.6
+    kappa_max: float = 0.230
+    a_centr: float = 1.5
+
+
+@dataclass(frozen=True)
+class ObstacleConfig:
+    """Elliptical obstacle footprint.  Ref: cem.py:25,28-29."""
+
+    num_obs: int = 6
+    a_obs: float = 4.25
+    b_obs: float = 2.75
+    num_circles: int = 1
+
+
+@dataclass(frozen=True)
+class LaneConfig:
+    """Lane geometry.  Ref: cem.py:155-156 (static values)."""
+
+    y_lb: float = -2.25
+    y_ub: float = 2.25
+    y_des_1: float = -1.75
+    y_des_2: float = 1.75
+    gamma: float = 1.0           # lane-bound discount      (cem.py:123)
+    gamma_lane_des: float = 0.3  # desired-lane margin      (cem.py:171)
+
+
+@dataclass(frozen=True)
+class GuessConfig:
+    """Behavioral-parameter -> trajectory "guess" QP.
+
+    Ref: cem.py:77-112 and cem_helper.py:169-230.
+    """
+
+    k_p_v: float = 2.0
+    k_p: float = 2.0
+    rho_v: float = 1.0
+    rho_offset: float = 1.0
+    weight_smoothness_x: float = 100.0
+    weight_smoothness_y: float = 100.0
+    num_segments: int = 4        # horizon split into segments (cem.py:97-112)
+
+
+@dataclass(frozen=True)
+class ProjectionConfig:
+    """Alternating-minimization feasibility projection.
+
+    Ref: cem.py:69-75,88,123-124 and optimizer/projection.py.
+    """
+
+    maxiter: int = 1             # AM iterations per CEM iter (cem.py:88)
+    rho_ineq: float = 1.0
+    rho_obs: float = 1.0
+    rho_projection: float = 1.0
+    rho_lane: float = 1.0
+    gamma: float = 1.0
+    gamma_obs: float = 1.0
+    # 'det' baseline activates the obstacle penalty rows in the x/y QPs
+    # (carla/optimizer/projection_det.py vs projection.py); the stochastic
+    # variant drops them and handles obstacles purely through the risk cost.
+    with_obstacle_terms: bool = False
+
+
+@dataclass(frozen=True)
+class CEMOuterConfig:
+    """Outer CEM over behavioral parameters.  Ref: cem.py:88-121,136-140."""
+
+    num_batch: int = 100
+    ellite_num: int = 5
+    ellite_num_cost: int = 20
+    maxiter_cem: int = 20
+    alpha_mean: float = 0.6
+    alpha_cov: float = 0.6
+    lamda: float = 0.9
+    cov_jitter: float = 0.01     # cem_helper.py:290
+    num_params: int = 8          # 4 desired velocities + 4 desired offsets
+
+
+@dataclass(frozen=True)
+class BetaCEMConfig:
+    """Inner CEM for reduced-set (beta) selection.  Ref: compute_beta.py:8-37."""
+
+    num_samples_cem: int = 100
+    maxiter: int = 20
+    ellite_frac: float = 0.1     # num_ellite = max(int(0.1*N)+1, 3)
+    init_cov_scale: float = 20.0
+    cov_jitter: float = 0.05
+    sigma_clip: float = 0.01
+    rho_beta: float = 1.0
+    qp_reg: float = 0.05         # compute_beta.py:72
+
+    @property
+    def num_ellite(self) -> int:
+        return max(int(self.ellite_frac * self.num_samples_cem) + 1, 3)
+
+
+@dataclass(frozen=True)
+class NoiseConfig:
+    """Stochastic control-noise model.  Ref: cem_helper.py:402-443, cem.py:24,168-169."""
+
+    kind: str = "gaussian"       # "gaussian" | "beta"
+    level: float = 0.1           # sigma_acc == sigma_steer == noise_level
+    acc_const: float = 0.0       # additive const noise scale (same draw for acc+steer!)
+    steer_const: float = 0.0
+    beta_a: float = 2.0
+    beta_b: float = 5.0
+    k_steer: float = 0.01        # 0.01 static / 0.05 dynamic (cem_helper.py:24)
+
+    def __post_init__(self):
+        if self.kind not in NOISE_KINDS:
+            raise ValueError(f"noise kind must be one of {NOISE_KINDS}, got {self.kind!r}")
+
+
+@dataclass(frozen=True)
+class RiskConfig:
+    """Risk-cost family and weights.  Ref: cem.py:142-143,158-166."""
+
+    mode: str = "mmd_opt"        # "mmd_opt" | "mmd_random" | "cvar" | "saa" | "det"
+    num_reduced: int = 10        # reduced-set size; num_mother = num_reduced**2
+    ker_wt: float = 1000.0
+    sigma_ker: float = 10.0
+    alpha_quant: float = 0.98
+    alpha_quant_lane: float = 0.98
+    weight_mmd_lane: float = 0.0
+    weight_mmd_obs: float = 1.0e3
+    weight_cvar_lane: float = 0.0
+    weight_cvar_obs: float = 1.0e3
+    weight_saa_lane: float = 1.0e6
+    weight_saa_obs: float = 1.0e6
+
+    def __post_init__(self):
+        if self.mode not in RISK_MODES:
+            raise ValueError(f"risk mode must be one of {RISK_MODES}, got {self.mode!r}")
+
+    @property
+    def num_mother(self) -> int:
+        return self.num_reduced ** 2
+
+    def weights(self) -> Tuple[float, float]:
+        """(lane_weight, obs_weight) for the active mode."""
+        return {
+            "mmd_opt": (self.weight_mmd_lane, self.weight_mmd_obs),
+            "mmd_random": (self.weight_mmd_lane, self.weight_mmd_obs),
+            "cvar": (self.weight_cvar_lane, self.weight_cvar_obs),
+            "saa": (self.weight_saa_lane, self.weight_saa_obs),
+            "det": (0.0, 0.0),
+        }[self.mode]
+
+
+@dataclass(frozen=True)
+class ProblemConfig:
+    """Top-level static configuration of one risk-aware MPC problem."""
+
+    horizon: HorizonConfig = HorizonConfig()
+    vehicle: VehicleConfig = VehicleConfig()
+    obstacles: ObstacleConfig = ObstacleConfig()
+    lane: LaneConfig = LaneConfig()
+    guess: GuessConfig = GuessConfig()
+    projection: ProjectionConfig = ProjectionConfig()
+    cem: CEMOuterConfig = CEMOuterConfig()
+    beta_cem: BetaCEMConfig = BetaCEMConfig()
+    noise: NoiseConfig = NoiseConfig()
+    risk: RiskConfig = RiskConfig()
+    # Numerical strategy: "exact" re-solves KKT systems like the reference
+    # (jnp.linalg.solve); "prefactored" bakes the constant KKT inverses in at
+    # setup (host float64) and turns every solve into an MXU matmul.
+    solve_strategy: str = "prefactored"
+
+    def replace(self, **kw) -> "ProblemConfig":
+        return dataclasses.replace(self, **kw)
+
+    def with_risk_mode(self, mode: str) -> "ProblemConfig":
+        return self.replace(risk=dataclasses.replace(self.risk, mode=mode))
+
+
+# ---------------------------------------------------------------------------
+# Canonical workload presets (the reference's three workload directories
+# collapse to configs; Appendix A of SURVEY.md lists the deltas).
+# ---------------------------------------------------------------------------
+
+def static_workload(num_reduced: int = 10, num_obs: int = 6, noise: str = "gaussian",
+                    noise_level: float = 0.1, num_prime: int = 50,
+                    mode: str = "mmd_opt", acc_const_noise: float = 0.0,
+                    steer_const_noise: float = 0.0) -> ProblemConfig:
+    """synthetic_static_obs equivalent (lane band ±2.25, K_steer=0.01)."""
+    return ProblemConfig(
+        horizon=HorizonConfig(num_prime=num_prime),
+        obstacles=ObstacleConfig(num_obs=num_obs),
+        noise=NoiseConfig(kind=noise, level=noise_level, k_steer=0.01,
+                          acc_const=acc_const_noise, steer_const=steer_const_noise),
+        risk=RiskConfig(mode=mode, num_reduced=num_reduced),
+    )
+
+
+def dynamic_workload(num_reduced: int = 10, num_obs: int = 6, noise: str = "beta",
+                     noise_level: float = 0.3, num_prime: int = 50,
+                     mode: str = "mmd_opt", acc_const_noise: float = 0.0,
+                     steer_const_noise: float = 0.0) -> ProblemConfig:
+    """synthetic_dynamic_obs equivalent: lane band (-2.25,-1.25), K_steer=0.05.
+
+    Ref deltas: synthetic_dynamic_obs/optimizer/cem.py:155 and cem_helper.py:24.
+    """
+    return ProblemConfig(
+        horizon=HorizonConfig(num_prime=num_prime),
+        obstacles=ObstacleConfig(num_obs=num_obs),
+        lane=LaneConfig(y_lb=-2.25, y_ub=-1.25),
+        noise=NoiseConfig(kind=noise, level=noise_level, k_steer=0.05,
+                          acc_const=acc_const_noise, steer_const=steer_const_noise),
+        risk=RiskConfig(mode=mode, num_reduced=num_reduced),
+    )

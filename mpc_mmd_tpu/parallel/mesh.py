@@ -1,0 +1,146 @@
+"""Device-mesh scaling: scenario-sharded solve sweeps over pod slices.
+
+The reference is strictly single-device (SURVEY.md §2.4: no pmap/pjit/mesh,
+inter-stage transport via npz files).  Here multi-chip scaling is first-class:
+
+* **Scenario axis (DP)** — independent MPC solves (obstacle configs x seeds)
+  shard across the mesh with ``shard_map``; zero inter-chip traffic during
+  solves, ICI collectives only for statistics reduction (psum) at the end.
+  This is the scaling axis that buys "solves/s" (SURVEY.md §5, §7).
+* Statistics (collision counts, acceptance fractions, cost moments) reduce
+  with ``jax.lax.psum`` inside the mapped region, so pod-scale validation
+  sweeps never materialize per-scenario data on one host.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+pass globally-sharded arrays; the same code path covers 1 chip -> N hosts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ProblemConfig
+from ..qp import Workspace, build_workspace
+from ..solver import SolveResult, _solve
+
+SCENARIO_AXIS = "scenarios"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis: str = SCENARIO_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def sharded_sweep(cfg: ProblemConfig, ws: Optional[Workspace] = None,
+                  mesh: Optional[Mesh] = None):
+    """Build a jitted scenario-sharded sweep function.
+
+    Returns ``sweep(seeds, init_state, mean, cov, x_obs, y_obs, v_des)``
+    where ``seeds`` is (S,) int32 and x_obs/y_obs are (S, num_obs, num);
+    S must be divisible by the mesh size.  Output: SolveResult with a leading
+    scenario axis, sharded over the mesh.
+    """
+    if ws is None:
+        ws = build_workspace(cfg)
+    if mesh is None:
+        mesh = make_mesh()
+
+    solve_local = jax.vmap(partial(_solve, cfg, ws),
+                           in_axes=(0, None, None, None, 0, 0, None))
+
+    def shard_body(seeds, init_state, mean, cov, x_obs, y_obs, v_des):
+        return solve_local(seeds, init_state, mean, cov, x_obs, y_obs, v_des)
+
+    spec_s = P(SCENARIO_AXIS)
+    spec_r = P()
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(spec_s, spec_r, spec_r, spec_r, spec_s, spec_s, spec_r),
+        out_specs=SolveResult(*([spec_s] * len(SolveResult._fields))),
+        # replicated inputs feed scan carries that become device-varying;
+        # skip the varying-manual-axes type check (pure DP, no collectives)
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def sweep_statistics(cfg: ProblemConfig, mesh: Optional[Mesh] = None):
+    """Jitted psum-reduced sweep statistics.
+
+    Input: per-scenario risk costs (S,) sharded over the mesh plus the
+    acceptance threshold; output: replicated scalars
+    (count_accepted, mean_risk, max_risk) — the device-side analog of the
+    reference's host-side threshold filter (main_mpc.py:121) and the
+    validator's count reductions (validation.py:153-169).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+
+    def body(risk, threshold):
+        accepted = jnp.sum(jnp.where(risk <= threshold, 1.0, 0.0))
+        total = jax.lax.psum(accepted, SCENARIO_AXIS)
+        mean = jax.lax.psum(jnp.sum(risk), SCENARIO_AXIS) / jax.lax.psum(
+            jnp.asarray(risk.shape[0], jnp.float32), SCENARIO_AXIS)
+        mx = jax.lax.pmax(jnp.max(risk), SCENARIO_AXIS)
+        return total, mean, mx
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P()),
+        out_specs=(P(), P(), P())))
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + execute the full sharded solve step on an n-device mesh.
+
+    Tiny shapes, mmd_opt mode (exercises every subsystem: guess QP,
+    projection, mother rollouts, inner beta-CEM, MMD risk, CEM update).
+    """
+    import dataclasses
+
+    from ..config import static_workload
+    from ..dynamics import constant_velocity_obstacles
+
+    cfg = static_workload(num_reduced=2, num_obs=1, num_prime=10,
+                          mode="mmd_opt")
+    cfg = cfg.replace(cem=dataclasses.replace(cfg.cem, maxiter_cem=2),
+                      beta_cem=dataclasses.replace(cfg.beta_cem, maxiter=2))
+    ws = build_workspace(cfg)
+    mesh = make_mesh(n_devices)
+    sweep = sharded_sweep(cfg, ws, mesh)
+
+    S = n_devices
+    seeds = jnp.arange(S, dtype=jnp.int32)
+    x0 = jnp.full((S, 1), 40.0)
+    y0 = jnp.full((S, 1), -1.75)
+    zeros = jnp.zeros((S, 1))
+    xt, yt, _ = jax.vmap(
+        lambda a, b, c, d, e: constant_velocity_obstacles(a, b, c, d, e,
+                                                          ws.tot_time)
+    )(x0, y0, zeros, zeros, zeros)
+
+    init_state = jnp.asarray([0.0, 1.75, 5.0, 0.0, 0.0, 0.0])
+    mean = jnp.asarray([15.0] * 4 + [0.0] * 4)
+    cov = jnp.asarray(np.diag([20.0] * 4 + [100.0] * 4), jnp.float32)
+
+    seeds = jax.device_put(seeds, NamedSharding(mesh, P(SCENARIO_AXIS)))
+    xt = jax.device_put(xt, NamedSharding(mesh, P(SCENARIO_AXIS)))
+    yt = jax.device_put(yt, NamedSharding(mesh, P(SCENARIO_AXIS)))
+
+    out = sweep(seeds, init_state, mean, cov, xt, yt, 15.0)
+    out.cx.block_until_ready()
+    assert out.cx.shape == (S, cfg.horizon.nvar)
+    assert bool(jnp.all(jnp.isfinite(out.cx))), "non-finite solve output"
+
+    stats = sweep_statistics(cfg, mesh)
+    risk = jax.device_put(out.risk_obs, NamedSharding(mesh, P(SCENARIO_AXIS)))
+    n_acc, mean_r, max_r = stats(risk, jnp.float32(1.0e9))
+    assert int(n_acc) == S

@@ -1,0 +1,158 @@
+"""Reduced-set selection via an inner CEM over (beta weights, kernel bandwidth).
+
+Given a "mother" ensemble of M noisy rollouts, pick ``k = num_reduced``
+representative rollouts and optimal weights beta (sum=1) minimizing the MMD
+between the weighted reduced set and the uniform mother distribution — the
+paper's core contribution (arXiv 2501.19045).
+
+TPU-native redesign (vs ``synthetic_static_obs/compute_beta.py``)
+----------------------------------------------------------------
+The reference recomputes pairwise feature differences (k x M x 22) for every
+one of 100 beta-samples x 20 CEM iterations (compute_beta.py:120-127 calling
+kernel_computation.py:58-65).  But every kernel evaluated is a *row/column
+subset of one mother Gram*, and the Laplace kernel's L1 distance matrix is
+bandwidth-independent.  We therefore:
+
+1. compute the (M, M) pairwise L1 distance matrix ONCE per candidate,
+2. reduce each sample's kernel to gather + exp(-D/sigma),
+3. batch the (k+1)-dim equality-KKT solves over all 100 samples.
+
+This removes the dominant O(iters * samples * k * M * F) recompute entirely
+while producing identical values (gathers commute with the feature-sum).
+
+RNG consumption mirrors compute_beta.py:41-68,108-133 exactly (fixed
+PRNGKey(0) seed — the inner CEM is deterministic and shared across
+candidates, as in the reference where the vmap carries no per-candidate key).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import ProblemConfig
+from .kernels import pairwise_l1
+from .linalg import eq_qp_solve
+
+
+class ReducedSet(NamedTuple):
+    beta: jnp.ndarray       # (k,) optimal weights (ascending-|beta| order)
+    sigma: jnp.ndarray      # ()   kernel bandwidth (reference quirk: drawn
+    #                       #      from the *post-update* sample batch)
+    x_red: jnp.ndarray      # (k, T) reduced rollouts
+    y_red: jnp.ndarray
+    res: jnp.ndarray        # (maxiter,) per-iteration best MMD residual
+
+
+def _beta_qp(K_red: jnp.ndarray, K_mixed: jnp.ndarray, cfg: ProblemConfig):
+    """Equality-constrained QP for optimal reduced-set weights (batched).
+
+    min_b  rho*b^T K_red b - 2*rho/M * 1^T K_mixed^T b   s.t.  sum(b) = 1
+
+    K_red: (S, k, k); K_mixed: (S, k, M).  Returns (beta (S,k), mmd_cost (S,)).
+    Ref: compute_beta.py:70-91 (KKT assembly + the dropped constant terms).
+    """
+    b = cfg.beta_cem
+    S, k, M = K_mixed.shape
+    cost = b.rho_beta * K_red + b.qp_reg * jnp.eye(k)
+    lincost = -b.rho_beta * (1.0 / M) * jnp.sum(K_mixed, axis=2)  # (S, k)
+
+    if cfg.solve_strategy == "exact":
+        # Dense KKT solve, bit-matching the reference (compute_beta.py:74-81).
+        ones_col = jnp.ones((S, k, 1))
+        top = jnp.concatenate((cost, ones_col), axis=2)
+        bot = jnp.concatenate((jnp.ones((S, 1, k)), jnp.zeros((S, 1, 1))), axis=2)
+        kkt = jnp.concatenate((top, bot), axis=1)           # (S, k+1, k+1)
+        rhs = jnp.concatenate((-lincost, jnp.ones((S, 1))), axis=1)
+        sol = jnp.linalg.solve(kkt, rhs[..., None])[..., 0]
+        beta = sol[:, :k]
+    else:
+        # Block elimination (C is PD thanks to the qp_reg ridge): two small
+        # SPD solves as fused vector ops — no LAPACK/LU custom-calls.
+        beta = eq_qp_solve(cost, -lincost)
+
+    q = -2.0 * (1.0 / M) * jnp.sum(K_mixed, axis=2)
+    mmd = (jnp.einsum("si,sij,sj->s", beta, K_red, beta)
+           + jnp.einsum("si,si->s", q, beta))
+    return beta, mmd
+
+
+def _cov_ddof1(X: jnp.ndarray) -> jnp.ndarray:
+    """np.cov-compatible covariance of rows (n, d) with ddof=1."""
+    mu = jnp.mean(X, axis=0)
+    Xc = X - mu
+    return (Xc.T @ Xc) / (X.shape[0] - 1)
+
+
+def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
+                       x_roll: jnp.ndarray, y_roll: jnp.ndarray) -> ReducedSet:
+    """Run the inner CEM for one candidate's mother ensemble.
+
+    cx, cy: (M, nvar) Bernstein coefficients of the rollouts (the kernel
+    feature space); x_roll, y_roll: (M, T) rollout positions.
+    Ref: compute_beta.py:93-157.
+    """
+    b = cfg.beta_cem
+    M = cfg.risk.num_mother
+    k = cfg.risk.num_reduced
+    S = b.num_samples_cem
+    n_el = b.num_ellite
+
+    feats = jnp.concatenate((cx, cy), axis=1)               # (M, 2*nvar)
+    D = pairwise_l1(feats, feats)                            # (M, M) — once!
+
+    mean0 = jnp.zeros(M + 1)
+    cov0 = b.init_cov_scale * jnp.eye(M + 1)
+    # Key chain mirrors the reference: split(PRNGKey(0))[0] seeds the scan
+    # carry, and compute_beta_samples_initial splits once more before its MVN
+    # draw (compute_beta.py:25,42-46,108-110).
+    key0, _ = jax.random.split(jax.random.PRNGKey(0))
+    init_key, _ = jax.random.split(key0)
+    samples0 = jax.random.multivariate_normal(init_key, mean0, cov0, (S,))
+    samples0 = samples0.at[:, -1].set(jnp.clip(samples0[:, -1], b.sigma_clip))
+
+    def iteration(carry, _):
+        key, samples = carry
+        sigma = samples[:, -1]                               # (S,)
+
+        idx_sorted = jnp.argsort(jnp.abs(samples[:, :M]), axis=1)
+        idx_top = idx_sorted[:, M - k:]                      # (S, k) ascending |beta|
+
+        rows = D[idx_top]                                    # (S, k, M)
+        K_mixed = jnp.exp(-rows / sigma[:, None, None])
+        sub = jnp.take_along_axis(
+            rows, jnp.broadcast_to(idx_top[:, None, :], (S, k, k)), axis=2)
+        K_red = jnp.exp(-sub / sigma[:, None, None])
+
+        beta_opt, cost = _beta_qp(K_red, K_mixed, cfg)       # (S, k), (S,)
+
+        # --- CEM update (ref compute_beta.py:51-68) ------------------------
+        key, _ = jax.random.split(key)
+        upd_key, _sub = jax.random.split(key)
+        order = jnp.argsort(cost)
+        elites = samples[order[:n_el]]
+        mean = jnp.mean(elites, axis=0)
+        cov = _cov_ddof1(elites) + b.cov_jitter * jnp.eye(M + 1)
+        fresh = jax.random.multivariate_normal(upd_key, mean, cov, (S - n_el,))
+        new_samples = jnp.concatenate((elites, fresh), axis=0)
+        new_samples = new_samples.at[:, -1].set(
+            jnp.clip(new_samples[:, -1], b.sigma_clip))
+
+        i_min = jnp.argmin(cost)
+        best = (beta_opt[i_min],
+                new_samples[i_min, -1],   # reference quirk: sigma from the
+                #                         # POST-update batch (compute_beta.py:133-138)
+                idx_top[i_min],
+                jnp.min(cost))
+        return (key, new_samples), best
+
+    (key_f, _), (betas, sigmas, idxs, mins) = lax.scan(
+        iteration, (key0, samples0), None, length=b.maxiter)
+
+    idx_best = idxs[-1]
+    return ReducedSet(beta=betas[-1], sigma=sigmas[-1],
+                      x_red=x_roll[idx_best], y_red=y_roll[idx_best],
+                      res=mins)

@@ -1,0 +1,78 @@
+"""Kernel/MMD math vs numpy oracles and the reference implementation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mpc_mmd_tpu.kernels import (gaussian_kernel, laplace_kernel, mmd_vs_zero,
+                                 pairwise_l1, pairwise_l2sq)
+
+
+def test_pairwise_l1_oracle(rng):
+    A = rng.normal(0, 1, (5, 7))
+    B = rng.normal(0, 1, (6, 7))
+    D = np.asarray(pairwise_l1(jnp.asarray(A), jnp.asarray(B)))
+    for i in range(5):
+        for j in range(6):
+            assert D[i, j] == pytest.approx(np.abs(A[i] - B[j]).sum(), rel=1e-6)
+
+
+def test_pairwise_l2sq_oracle(rng):
+    A = rng.normal(0, 1, (5, 7))
+    D = np.asarray(pairwise_l2sq(jnp.asarray(A), jnp.asarray(A)))
+    for i in range(5):
+        for j in range(5):
+            # matmul expansion in f32: cancellation-limited accuracy
+            assert D[i, j] == pytest.approx(((A[i] - A[j]) ** 2).sum(),
+                                            rel=1e-3, abs=1e-3)
+
+
+def test_kernels_basic(rng):
+    d1 = jnp.asarray(np.abs(rng.normal(0, 1, (4, 4))))
+    np.testing.assert_allclose(np.asarray(laplace_kernel(d1, 2.0)),
+                               np.exp(-np.asarray(d1) / 2.0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gaussian_kernel(d1, 2.0)),
+                               np.exp(-np.asarray(d1) / 8.0), atol=1e-6)
+
+
+def test_mmd_vs_zero_oracle(rng):
+    """mmd = ker_wt*(b' Kaa b - 2 b' Kab b_unif) with zero target samples."""
+    k = 8
+    beta = rng.normal(0, 1, k)
+    cost = np.abs(rng.normal(0, 1, k))
+    sigma, ker_wt = 1.7, 1000.0
+    Kaa = np.exp(-np.abs(cost[:, None] - cost[None, :]) / sigma)
+    Kab = np.exp(-np.abs(cost[:, None] - np.zeros(k)[None, :]) / sigma)
+    b_unif = np.full(k, 1.0 / k)
+    expected = ker_wt * (beta @ Kaa @ beta - 2 * beta @ Kab @ b_unif)
+    got = float(mmd_vs_zero(jnp.asarray(beta), jnp.asarray(cost), sigma, ker_wt))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_mmd_vs_zero_matches_reference():
+    import sys
+    sys.path.insert(0, "/root/reference/synthetic_static_obs")
+    try:
+        from kernel_computation import kernel_matrix
+    except ImportError:
+        pytest.skip("reference not available")
+    num_reduced = 6
+    km = kernel_matrix(num_reduced, 1000.0, jnp.eye(11))
+    rng = np.random.default_rng(3)
+    beta = jnp.asarray(rng.normal(0, 1, num_reduced), jnp.float32)
+    cost = jnp.asarray(np.abs(rng.normal(0, 1, num_reduced)), jnp.float32)
+    ref = float(km.compute_mmd(beta, cost, 1.7)[0])
+    got = float(mmd_vs_zero(beta, cost, 1.7, 1000.0))
+    assert got == pytest.approx(ref, rel=1e-4, abs=1e-4)
+
+
+def test_mmd_batched_sigma(rng):
+    """Vector sigma broadcasting over a leading batch axis."""
+    beta = jnp.asarray(rng.normal(0, 1, (3, 5)))
+    cost = jnp.asarray(np.abs(rng.normal(0, 1, (3, 5))))
+    sigma = jnp.asarray([0.5, 1.0, 2.0])
+    out = mmd_vs_zero(beta, cost, sigma, 10.0)
+    assert out.shape == (3,)
+    for i in range(3):
+        single = float(mmd_vs_zero(beta[i], cost[i], float(sigma[i]), 10.0))
+        assert float(out[i]) == pytest.approx(single, rel=1e-6)
