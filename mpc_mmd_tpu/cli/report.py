@@ -1,0 +1,128 @@
+"""Reporting: collision-percentage box plots and trajectory ensembles.
+
+Replaces ``*/plot_box_plots.py`` (grid of box plots over reduced-set sizes x
+noise levels, MMD vs CVaR vs SAA) and the core of ``*/plot_traj_video.py``
+(noisy rollout cloud over lane + obstacles; rendered as a static
+multi-frame figure rather than celluloid video — same information, no
+video-codec dependency).
+
+Usage:
+    python -m mpc_mmd_tpu.cli.report boxplot --stats ./stats/... [...] --out box.png
+    python -m mpc_mmd_tpu.cli.report trajectories --data ./data/... --out traj.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def boxplot(stats_paths, labels, n_mc: int, out_path: str):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = []
+    for path in stats_paths:
+        with np.load(os.path.join(path, "validation.npz")) as z:
+            data.append(z["coll_count"] / n_mc * 100.0)
+
+    fig, ax = plt.subplots(figsize=(1.8 * len(data) + 2, 4))
+    ax.boxplot(data, tick_labels=labels, showmeans=True)
+    ax.set_ylabel("collision %")
+    ax.set_title("Monte-Carlo collision percentage per accepted solve")
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def trajectories(data_root: str, out_path: str, n_mc: int = 200,
+                 n_solves: int = 4, seed: int = 0):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    import jax
+    import jax.numpy as jnp
+    from ..config import dynamic_workload, static_workload
+    from ..dynamics import controls_from_trajectory, rollout
+    from ..qp import build_workspace
+    from ..utils.io_store import ResultStore
+    from ..validate import _mc_noise
+
+    store = ResultStore(data_root)
+    meta = store.meta
+    make = static_workload if meta.get("workload", "static") == "static" \
+        else dynamic_workload
+    cfg = make(num_reduced=meta["num_reduced"], num_obs=meta["num_obs"],
+               noise=meta["noise"], noise_level=meta["noise_level"],
+               num_prime=meta["num_prime"], mode=meta["mode"])
+    ws = build_workspace(cfg)
+    arrays = store.concatenated()
+    n = min(n_solves, len(arrays["cx"]))
+    T = cfg.horizon.num_prime
+
+    fig, axes = plt.subplots(n, 1, figsize=(12, 2.6 * n), squeeze=False)
+    key = jax.random.PRNGKey(seed)
+    for i in range(n):
+        ax = axes[i][0]
+        cx = jnp.asarray(arrays["cx"][i])
+        cy = jnp.asarray(arrays["cy"][i])
+        init = arrays["init_state"][i]
+        xdot, ydot = ws.Pdot @ cx, ws.Pdot @ cy
+        xddot, yddot = ws.Pddot @ cx, ws.Pddot @ cy
+        acc, steer = controls_from_trajectory(xdot[None], ydot[None],
+                                              xddot[None], yddot[None],
+                                              cfg.horizon.dt,
+                                              cfg.vehicle.wheel_base)
+        key, sub = jax.random.split(key)
+        a_n, s_n = _mc_noise(cfg, sub, acc[0][:T], steer[0][:T], n_mc)
+        state0 = jnp.asarray([init[0], init[1], init[2], init[3],
+                              np.arctan2(init[3], init[2])], jnp.float32)
+        xr, yr = rollout(a_n, s_n, state0, cfg.horizon.dt,
+                         cfg.vehicle.wheel_base)
+        ax.plot(np.asarray(xr).T, np.asarray(yr).T, color="tab:blue",
+                alpha=0.05, lw=0.5)
+        ax.plot(np.asarray(ws.P @ cx), np.asarray(ws.P @ cy), "k-", lw=1.5)
+        for o in range(meta["num_obs"]):
+            ax.plot(arrays["x_obs_traj"][i][o][:T],
+                    arrays["y_obs_traj"][i][o][:T], "r.", ms=2)
+        for yline in (cfg.lane.y_lb, cfg.lane.y_ub):
+            ax.axhline(yline, color="gray", ls="--", lw=0.8)
+        ax.set_ylim(cfg.lane.y_lb - 2, cfg.lane.y_ub + 2)
+        ax.set_ylabel(f"solve {i}")
+    axes[-1][0].set_xlabel("x [m]")
+    fig.suptitle(f"{meta['mode']} noisy rollout clouds "
+                 f"({meta['noise']}@{meta['noise_level']})")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("boxplot")
+    b.add_argument("--stats", type=str, nargs="+", required=True)
+    b.add_argument("--labels", type=str, nargs="+", required=True)
+    b.add_argument("--n_mc", type=int, default=1000)
+    b.add_argument("--out", type=str, required=True)
+    t = sub.add_parser("trajectories")
+    t.add_argument("--data", type=str, required=True)
+    t.add_argument("--out", type=str, required=True)
+    t.add_argument("--n_mc", type=int, default=200)
+    t.add_argument("--n_solves", type=int, default=4)
+    args = p.parse_args(argv)
+    if args.cmd == "boxplot":
+        print(boxplot(args.stats, args.labels, args.n_mc, args.out))
+    else:
+        print(trajectories(args.data, args.out, args.n_mc, args.n_solves))
+
+
+if __name__ == "__main__":
+    main()

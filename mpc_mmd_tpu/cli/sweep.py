@@ -1,0 +1,138 @@
+"""Batch solve sweep over obstacle scenarios (static or dynamic workloads).
+
+Device-batched, resumable replacement for the reference's
+``synthetic_static_obs/main_mpc.py`` / ``synthetic_dynamic_obs/main_mpc.py``
+(which re-enter jit once per config in a Python loop).  Scenarios solve in
+vmapped chunks, accepted solves (risk below the mode's threshold,
+main_mpc.py:86-97,121) are compacted on host, and chunks land in a
+resumable ResultStore.
+
+Usage:
+    python -m mpc_mmd_tpu.cli.sweep --workload static --costs mmd_opt cvar \
+        --noise_levels 0.1 --num_reduced_sets 10 --num_obs 6 --num_prime 50 \
+        --noises gaussian --num_configs 200 --out ./data
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import dynamic_workload, static_workload
+from ..scenarios import dynamic_cutin, ego_initial_state, static_grid
+from ..solver import Solver
+from ..utils.io_store import ResultStore
+from ..utils.observability import MetricLogger, phase_timer
+
+
+def accept_threshold(mode: str, ker_wt: float) -> float:
+    """Ref: main_mpc.py:86-97."""
+    if mode.startswith("mmd"):
+        return -ker_wt + 1.0
+    return 1.0e-5
+
+
+def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
+              num_reduced: int, num_obs: int, num_prime: int,
+              num_configs: int, out_root: str, chunk: int = 20,
+              acc_const_noise: float = 0.0, steer_const_noise: float = 0.0,
+              logger: MetricLogger | None = None) -> ResultStore:
+    logger = logger or MetricLogger()
+    make = static_workload if workload == "static" else dynamic_workload
+    cfg = make(num_reduced=num_reduced, num_obs=num_obs, noise=noise,
+               noise_level=noise_level, num_prime=num_prime, mode=mode,
+               acc_const_noise=acc_const_noise,
+               steer_const_noise=steer_const_noise)
+    solver = Solver(cfg)
+
+    with phase_timer(logger, "scenario_gen"):
+        if workload == "static":
+            batch = static_grid(cfg, num_configs)
+        else:
+            batch = dynamic_cutin(cfg, num_configs)
+
+    init_state, mean, cov, v_des = ego_initial_state(workload)
+    threshold = accept_threshold(mode, cfg.risk.ker_wt)
+
+    tag = (f"{workload}/{noise}_noise/noise_{int(noise_level * 100)}/"
+           f"ts_{num_prime}/{mode}_{num_reduced}_samples_{num_obs}_obs")
+    store = ResultStore(f"{out_root}/{tag}", meta={
+        "workload": workload, "mode": mode, "noise": noise,
+        "noise_level": noise_level, "num_reduced": num_reduced,
+        "num_obs": num_obs, "num_prime": num_prime,
+        "num_configs": num_configs})
+
+    rng = np.random.RandomState(0)
+    seeds_all = rng.randint(1, 10000, size=num_configs)
+
+    n_chunks = (num_configs + chunk - 1) // chunk
+    for cid in range(n_chunks):
+        if store.is_done(cid):
+            continue
+        lo, hi = cid * chunk, min((cid + 1) * chunk, num_configs)
+        sl = slice(lo, hi)
+        with phase_timer(logger, "solve_chunk", chunk=cid, size=hi - lo):
+            res = solver.solve_batch(
+                jnp.asarray(seeds_all[sl], jnp.int32), init_state, mean, cov,
+                batch.x_traj[sl], batch.y_traj[sl], v_des)
+        risk = np.asarray(res.risk_obs)
+        keep = risk <= threshold
+        store.write_chunk(
+            cid,
+            cx=np.asarray(res.cx)[keep], cy=np.asarray(res.cy)[keep],
+            init_state=np.tile(np.asarray(init_state), (int(keep.sum()), 1)),
+            x_obs=np.asarray(batch.x_obs[sl])[keep],
+            y_obs=np.asarray(batch.y_obs[sl])[keep],
+            vx_obs=np.asarray(batch.vx_obs[sl])[keep],
+            vy_obs=np.asarray(batch.vy_obs[sl])[keep],
+            psi_obs=np.asarray(batch.psi_obs[sl])[keep],
+            x_obs_traj=np.asarray(batch.x_traj[sl])[keep],
+            y_obs_traj=np.asarray(batch.y_traj[sl])[keep],
+            risk_obs=risk[keep],
+            seeds=seeds_all[sl][keep],
+        )
+        logger.log("chunk_done", chunk=cid, accepted=int(keep.sum()),
+                   total=hi - lo)
+    return store
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workload", choices=["static", "dynamic"], default="static")
+    p.add_argument("--costs", type=str, nargs="+", required=True)
+    p.add_argument("--noise_levels", type=float, nargs="+", required=True)
+    p.add_argument("--num_reduced_sets", type=int, nargs="+", required=True)
+    p.add_argument("--num_obs", type=int, nargs="+", required=True)
+    p.add_argument("--num_prime", type=int, nargs="+", required=True)
+    p.add_argument("--noises", type=str, nargs="+", required=True)
+    p.add_argument("--acc_const_noise", type=float, default=0.0)
+    p.add_argument("--steer_const_noise", type=float, default=0.0)
+    p.add_argument("--num_configs", type=int, default=200)
+    p.add_argument("--chunk", type=int, default=20)
+    p.add_argument("--out", type=str, default="./data")
+    p.add_argument("--metrics", type=str, default=None)
+    args = p.parse_args(argv)
+
+    logger = MetricLogger(args.metrics)
+    for noise in args.noises:
+        for lvl in args.noise_levels:
+            for np_ in args.num_prime:
+                for n_obs in args.num_obs:
+                    for n_red in args.num_reduced_sets:
+                        for mode in args.costs:
+                            store = run_sweep(
+                                args.workload, mode, noise, lvl, n_red, n_obs,
+                                np_, args.num_configs, args.out, args.chunk,
+                                args.acc_const_noise, args.steer_const_noise,
+                                logger)
+                            n = sum(len(a["cx"]) for _, a in store.iter_chunks())
+                            print(f"workload={args.workload} cost={mode} "
+                                  f"reduced={n_red} obs={n_obs} ts={np_} "
+                                  f"noise={noise}@{lvl}: accepted {n}/"
+                                  f"{args.num_configs}")
+
+
+if __name__ == "__main__":
+    main()
