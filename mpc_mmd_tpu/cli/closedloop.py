@@ -1,0 +1,83 @@
+"""Closed-loop MPC episodes against the synthetic plant.
+
+Replaces ``carla/main_carla.py``'s CLI: runs receding-horizon episodes with
+the chosen risk mode (mmd_opt / cvar / det baseline), reports collision and
+timing statistics, optionally renders the driven trajectory.
+
+Usage:
+    python -m mpc_mmd_tpu.cli.closedloop --mode mmd_opt --episodes 3 \
+        --route curved --noise gaussian --noise_level 0.1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from ..config import onroad_workload
+from ..closedloop import run_episode
+from ..solver_frenet import FrenetSolver
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", default="mmd_opt",
+                   choices=["mmd_opt", "mmd_random", "cvar", "saa", "det"])
+    p.add_argument("--episodes", type=int, default=1)
+    p.add_argument("--route", default="curved",
+                   choices=["straight", "curved", "circuit"])
+    p.add_argument("--noise", default="gaussian", choices=["gaussian", "beta"])
+    p.add_argument("--noise_level", type=float, default=0.1)
+    p.add_argument("--num_reduced", type=int, default=4)
+    p.add_argument("--num_obs", type=int, default=4)
+    p.add_argument("--num_prime", type=int, default=50)
+    p.add_argument("--v_des", type=float, default=15.0)
+    p.add_argument("--max_steps", type=int, default=400)
+    p.add_argument("--goal_arc", type=float, default=300.0)
+    p.add_argument("--plot", type=str, default=None)
+    args = p.parse_args(argv)
+
+    cfg = onroad_workload(num_reduced=args.num_reduced, num_obs=args.num_obs,
+                          noise=args.noise, noise_level=args.noise_level,
+                          num_prime=args.num_prime, mode=args.mode)
+    solver = FrenetSolver(cfg)
+
+    results = []
+    for ep in range(args.episodes):
+        r = run_episode(cfg, route_kind=args.route, v_des=args.v_des,
+                        max_steps=args.max_steps, goal_arc=args.goal_arc,
+                        seed=ep, solver=solver)
+        results.append(r)
+        times = r.solve_times[1:] or r.solve_times
+        print(json.dumps({
+            "episode": ep, "collided": r.collided, "steps": r.steps,
+            "min_margin": round(r.min_obstacle_margin, 3),
+            "mean_solve_ms": round(1e3 * float(np.mean(times)), 2),
+            "p99_solve_ms": round(1e3 * float(np.percentile(times, 99)), 2),
+        }))
+
+    n_coll = sum(r.collided for r in results)
+    print(json.dumps({"episodes": len(results), "collisions": n_coll,
+                      "collision_rate": n_coll / len(results)}))
+
+    if args.plot and results:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from ..closedloop import make_route
+        fig, ax = plt.subplots(figsize=(12, 5))
+        rx, ry = make_route(args.route)
+        ax.plot(rx[:3000], ry[:3000], "k--", lw=0.8, label="route")
+        for r in results:
+            if len(r.ego_trace):
+                ax.plot(r.ego_trace[:, 0], r.ego_trace[:, 1], lw=1.2)
+        ax.legend()
+        ax.set_aspect("equal")
+        fig.savefig(args.plot, dpi=150)
+        print(args.plot)
+
+
+if __name__ == "__main__":
+    main()

@@ -202,6 +202,26 @@ class RiskConfig:
 
 
 @dataclass(frozen=True)
+class FrenetVariantConfig:
+    """On-road (CARLA-equivalent) variant parameters.
+
+    Ref: carla/optimizer/cem.py:146-153 (init-state perturbation),
+    carla/optimizer/cem_helper.py:115,543-553 (path window, centripetal and
+    desired-lane cost weights), carla/main_carla.py:322-323 (control = mean
+    of the first num_mean_update steps).
+    """
+
+    init_mu: Tuple[float, float] = (0.3, 0.0)
+    init_sigma: Tuple[float, float] = (0.05, 0.1)
+    num_path: int = 600
+    lookahead: float = 300.0
+    smooth_threshold: float = 0.1
+    weight_des_lane: float = 0.01
+    weight_centr: float = 0.1
+    num_mean_update: int = 4
+
+
+@dataclass(frozen=True)
 class ProblemConfig:
     """Top-level static configuration of one risk-aware MPC problem."""
 
@@ -215,6 +235,7 @@ class ProblemConfig:
     beta_cem: BetaCEMConfig = BetaCEMConfig()
     noise: NoiseConfig = NoiseConfig()
     risk: RiskConfig = RiskConfig()
+    frenet: FrenetVariantConfig = FrenetVariantConfig()
     # Numerical strategy: "exact" re-solves KKT systems like the reference
     # (jnp.linalg.solve); "prefactored" bakes the constant KKT inverses in at
     # setup (host float64) and turns every solve into an MXU matmul.
@@ -261,4 +282,34 @@ def dynamic_workload(num_reduced: int = 10, num_obs: int = 6, noise: str = "beta
         noise=NoiseConfig(kind=noise, level=noise_level, k_steer=0.05,
                           acc_const=acc_const_noise, steer_const=steer_const_noise),
         risk=RiskConfig(mode=mode, num_reduced=num_reduced),
+    )
+
+
+def onroad_workload(num_reduced: int = 4, num_obs: int = 4, noise: str = "gaussian",
+                    noise_level: float = 0.1, num_prime: int = 50,
+                    mode: str = "mmd_opt", right_hand_lanes: bool = True,
+                    acc_const_noise: float = 0.0,
+                    steer_const_noise: float = 0.0) -> ProblemConfig:
+    """CARLA-equivalent on-road closed-loop workload.
+
+    Ref deltas: carla/optimizer/cem.py:26-36 (vehicle: wheel_base 2.875,
+    a_obs 4.5/3.0), :161-176 (risk weights: mmd obs 0.1 / lane 0.01,
+    cvar 100/25, saa 1000), :163-167 (town-dependent lane band), and the
+    unscaled beta steer noise (carla cem_helper has no K_steer).
+    """
+    lane = (LaneConfig(y_lb=-0.3, y_ub=3.8, y_des_1=0.0, y_des_2=3.5)
+            if right_hand_lanes else
+            LaneConfig(y_lb=-3.8, y_ub=0.3, y_des_1=0.0, y_des_2=-3.5))
+    return ProblemConfig(
+        horizon=HorizonConfig(num_prime=num_prime),
+        vehicle=VehicleConfig(wheel_base=2.875),
+        obstacles=ObstacleConfig(num_obs=num_obs, a_obs=4.5, b_obs=3.0),
+        lane=lane,
+        noise=NoiseConfig(kind=noise, level=noise_level, k_steer=1.0,
+                          acc_const=acc_const_noise, steer_const=steer_const_noise),
+        risk=RiskConfig(mode=mode, num_reduced=num_reduced,
+                        weight_mmd_lane=0.01, weight_mmd_obs=0.1,
+                        weight_cvar_lane=25.0, weight_cvar_obs=100.0,
+                        weight_saa_lane=1000.0, weight_saa_obs=1000.0,
+                        sigma_ker=1.0e-2),
     )

@@ -47,6 +47,8 @@ class ProjectionResult(NamedTuple):
     lamda_x: jnp.ndarray    # (batch, nvar) warm-started multipliers
     lamda_y: jnp.ndarray
     s_lane: jnp.ndarray     # (batch, 2*(num-1)) lane slack
+    steering: jnp.ndarray   # (batch, num) Frenet steering (zeros off-path)
+    kappa_interp: jnp.ndarray  # (batch, num) path curvature at x (zeros off-path)
 
 
 def _polar_clip(wx, wy, rho, lo, hi, unwrap: bool):
@@ -104,19 +106,29 @@ def project(cfg: ProblemConfig, ws: Workspace,
             b_eq_x: jnp.ndarray, b_eq_y: jnp.ndarray,
             lamda_x: jnp.ndarray, lamda_y: jnp.ndarray,
             s_lane: jnp.ndarray,
-            x_obs: jnp.ndarray, y_obs: jnp.ndarray) -> ProjectionResult:
+            x_obs: jnp.ndarray, y_obs: jnp.ndarray,
+            arc_vec: jnp.ndarray | None = None,
+            kappa: jnp.ndarray | None = None) -> ProjectionResult:
     """Project guess coefficients onto the feasible set (AM iterations).
 
     Mirrors Projection.compute_projection (projection.py:277-323): one polar
     initialization (with multiplier pre-update), then ``maxiter`` AM rounds of
     [QP solve -> polar re-estimate -> multiplier update], with multipliers and
     lane slack warm-started across outer CEM iterations by the caller.
+
+    Frenet mode (``arc_vec``/``kappa`` given — the CARLA-variant projection,
+    carla/optimizer/projection.py:307-319): additionally interpolates the
+    path curvature along each candidate's arc-length trajectory and outputs
+    the curvature-coupled steering
+    ``atan((kappa_f + kappa cos(a_v)/(1 - y kappa)) * L)`` where kappa_f is
+    the Frenet-frame trajectory curvature ``d_a sin(a_a - a_v) / d_v^2``.
     """
     pj, veh, lane = cfg.projection, cfg.vehicle, cfg.lane
     nvar = cfg.horizon.nvar
     nb = cfg.cem.num_batch
     num = cfg.horizon.num
     with_obs = pj.with_obstacle_terms
+    frenet_mode = arc_vec is not None
 
     # ---- initial polar estimates from the guess trajectory -----------------
     x_g = c_x_bar @ ws.P.T
@@ -245,17 +257,34 @@ def project(cfg: ProblemConfig, ws: Workspace,
             lamda_y = lamda_y - pj.rho_obs * (sum_oy @ ws.P)
             alpha_obs, d_obs = alpha_obs_n, d_obs_n
 
-        out = (c_x, c_y, x, y, xdot, ydot, xddot, yddot, res_norm)
+        if frenet_mode:
+            # curvature-coupled steering (carla/optimizer/projection.py:307-319)
+            kappa_interp = jnp.interp(
+                jnp.clip(x, 0.0, arc_vec[-1]).reshape(-1), arc_vec, kappa
+            ).reshape(nb, num)
+            kappa_frenet = d_a * jnp.sin(alpha_a - alpha_v) / (d_v ** 2)
+            steering = jnp.arctan(
+                (kappa_frenet + kappa_interp * jnp.cos(alpha_v)
+                 / (1.0 - y * kappa_interp)) * veh.wheel_base)
+        else:
+            kappa_interp = jnp.zeros((nb, num))
+            steering = jnp.zeros((nb, num))
+
+        out = (c_x, c_y, x, y, xdot, ydot, xddot, yddot, res_norm,
+               steering, kappa_interp)
         return (lamda_x, lamda_y, alpha_v, d_v, alpha_a, d_a, alpha_obs,
                 d_obs, s_lane, out), None
 
     zeros_out = (jnp.zeros((nb, nvar)), jnp.zeros((nb, nvar))) + tuple(
-        jnp.zeros((nb, num)) for _ in range(6)) + (jnp.zeros(nb),)
+        jnp.zeros((nb, num)) for _ in range(6)) + (jnp.zeros(nb),) + tuple(
+        jnp.zeros((nb, num)) for _ in range(2))
     carry0 = (lamda_x, lamda_y, alpha_v, d_v, alpha_a, d_a, alpha_obs, d_obs,
               s_lane, zeros_out)
     carry, _ = lax.scan(am_iteration, carry0, None, length=pj.maxiter)
     (lamda_x, lamda_y, _, _, _, _, _, _, s_lane, out) = carry
-    c_x, c_y, x, y, xdot, ydot, xddot, yddot, res_norm = out
+    (c_x, c_y, x, y, xdot, ydot, xddot, yddot, res_norm,
+     steering, kappa_interp) = out
 
     return ProjectionResult(c_x, c_y, x, y, xdot, ydot, xddot, yddot,
-                            res_norm, lamda_x, lamda_y, s_lane)
+                            res_norm, lamda_x, lamda_y, s_lane,
+                            steering, kappa_interp)
