@@ -240,6 +240,9 @@ class ProblemConfig:
     # (jnp.linalg.solve); "prefactored" bakes the constant KKT inverses in at
     # setup (host float64) and turns every solve into an MXU matmul.
     solve_strategy: str = "prefactored"
+    # Rollout backend: "auto" picks the fused Pallas kernel on TPU and the
+    # lax.scan path elsewhere; "scan" / "pallas" force one.
+    rollout_backend: str = "auto"
 
     def replace(self, **kw) -> "ProblemConfig":
         return dataclasses.replace(self, **kw)

@@ -65,6 +65,51 @@ def _gather(tree, idx):
     return jax.tree_util.tree_map(lambda a: a[idx], tree)
 
 
+def resolve_rollout_backend(cfg: ProblemConfig) -> str:
+    if cfg.rollout_backend != "auto":
+        return cfg.rollout_backend
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+    except Exception:
+        return "scan"
+
+
+def batched_rollouts(cfg: ProblemConfig, backend: str, key, acc_T, steer_T,
+                     state0, mother: bool):
+    """Noisy rollouts for all candidates as ONE flat-lane rollout call.
+
+    acc_T, steer_T: (C, T).  state0: (5,) shared or (n_init, 5) per-rollout
+    (Frenet noisy-init ensembles).  Returns x, y of shape (C, n, T) with
+    n = num_mother (mother=True) or num_reduced.
+    """
+    from .ops import fused_rollout
+
+    C, T = acc_T.shape
+    R = cfg.risk.num_reduced
+    dt, L = cfg.horizon.dt, cfg.vehicle.wheel_base
+
+    a_n, s_n = jax.vmap(
+        lambda a, s: perturb_controls(key, a, s, R, cfg.noise))(acc_T, steer_T)
+    if mother:
+        a_l = jnp.repeat(a_n, R, axis=1)           # (C, R^2, T)
+        s_l = jnp.tile(s_n, (1, R, 1))
+    else:
+        a_l, s_l = a_n, s_n
+    n = a_l.shape[1]
+    a_flat = a_l.reshape(C * n, T)
+    s_flat = s_l.reshape(C * n, T)
+    if state0.ndim == 1:
+        s0 = jnp.broadcast_to(state0[None, :], (C * n, 5))
+    else:
+        s0 = jnp.broadcast_to(state0[None, :, :], (C, n, 5)).reshape(C * n, 5)
+
+    if backend == "pallas":
+        x, y = fused_rollout(a_flat, s_flat, s0, dt, L)
+    else:
+        x, y = rollout(a_flat, s_flat, s0, dt, L)
+    return x.reshape(C, n, T), y.reshape(C, n, T)
+
+
 def _solve(cfg: ProblemConfig, ws: Workspace, idx_mpc, init_state,
            mean_param, cov_param, x_obs_traj, y_obs_traj, v_des) -> SolveResult:
     mode = cfg.risk.mode
@@ -73,9 +118,11 @@ def _solve(cfg: ProblemConfig, ws: Workspace, idx_mpc, init_state,
     n_el = cfg.cem.ellite_num
     T = cfg.horizon.num_prime
     R = cfg.risk.num_reduced
+    M = cfg.risk.num_mother
     dt = cfg.horizon.dt
     L = cfg.vehicle.wheel_base
     w_lane, w_obs = cfg.risk.weights()
+    backend = resolve_rollout_backend(cfg)
 
     params0 = initial_params(cfg, mean_param, cov_param)
     b_eq_x, b_eq_y = boundary_vectors(cfg, init_state)
@@ -113,26 +160,24 @@ def _solve(cfg: ProblemConfig, ws: Workspace, idx_mpc, init_state,
         steer_T = steer[:, :T]
 
         if mode == "mmd_opt":
-            def per_candidate(a, s):
-                a_n, s_n = perturb_controls(key, a, s, R, cfg.noise)
-                a_m, s_m = mother_product(a_n, s_n)
-                xr, yr = rollout(a_m, s_m, state0, dt, L)
-                cxr, cyr = refit_coefficients(ws, xr, yr)
-                return select_reduced_set(cfg, cxr, cyr, xr, yr)
-
-            rs = jax.vmap(per_candidate)(acc_T, steer_T)
+            xr, yr = batched_rollouts(cfg, backend, key, acc_T, steer_T,
+                                      state0, mother=True)
+            cxr, cyr = refit_coefficients(ws, xr.reshape(nb * M, T),
+                                          yr.reshape(nb * M, T))
+            cxr = cxr.reshape(nb, M, -1)
+            cyr = cyr.reshape(nb, M, -1)
+            rs = jax.vmap(
+                lambda a, b, c, d: select_reduced_set(cfg, a, b, c, d)
+            )(cxr, cyr, xr, yr)
             x_roll, y_roll = rs.x_red, rs.y_red
             beta, sigma, res_beta = rs.beta, rs.sigma, rs.res
             risk_obs = jax.vmap(
-                lambda b, sg, xr, yr: risk_mod.mmd_obs(
-                    cfg, b, sg, xr, yr, x_obs_T, y_obs_T)
+                lambda b, sg, xr2, yr2: risk_mod.mmd_obs(
+                    cfg, b, sg, xr2, yr2, x_obs_T, y_obs_T)
             )(beta, sigma, x_roll, y_roll)
         else:
-            def per_candidate(a, s):
-                a_n, s_n = perturb_controls(key, a, s, R, cfg.noise)
-                return rollout(a_n, s_n, state0, dt, L)
-
-            x_roll, y_roll = jax.vmap(per_candidate)(acc_T, steer_T)
+            x_roll, y_roll = batched_rollouts(cfg, backend, key, acc_T,
+                                              steer_T, state0, mother=False)
             beta, sigma = uniform_beta, uniform_sigma
             res_beta = jnp.zeros((nb, cfg.beta_cem.maxiter))
             if mode == "mmd_random":

@@ -29,13 +29,13 @@ from jax import lax
 
 from . import risk as risk_mod
 from .config import ProblemConfig
-from .dynamics import (controls_from_trajectory, mother_product,
-                       perturb_controls, rollout)
+from .dynamics import controls_from_trajectory
 from .frenet import FrenetFrame, global_to_frenet_points, global_to_frenet_state
 from .qp import Workspace, build_workspace, compute_guess, refit_coefficients
 from .projection import project
 from .reduced_set import select_reduced_set
 from .sampling import cem_update, initial_params, scalar_cost
+from .solver import batched_rollouts, resolve_rollout_backend
 
 
 class FrenetSolveResult(NamedTuple):
@@ -100,6 +100,7 @@ def _solve_frenet(cfg: ProblemConfig, ws: Workspace, idx_mpc,
     dt = cfg.horizon.dt
     L = cfg.vehicle.wheel_base
     w_lane, w_obs = cfg.risk.weights()
+    backend = resolve_rollout_backend(cfg)
 
     x_g, y_g, v_g, vdot_g, psi_g, psidot_g = [init_state_global[i]
                                               for i in range(6)]
@@ -159,22 +160,19 @@ def _solve_frenet(cfg: ProblemConfig, ws: Workspace, idx_mpc,
             l_roll = jnp.zeros((nb, R, T))
         else:
             if mode == "mmd_opt":
-                def per_candidate(a, s):
-                    a_n, s_n = perturb_controls(key, a, s, R, cfg.noise)
-                    a_m, s_m2 = mother_product(a_n, s_n)
-                    xr, yr = rollout(a_m, s_m2, init_states_global, dt, L)
-                    cxr, cyr = refit_coefficients(ws, xr, yr)
-                    return select_reduced_set(cfg, cxr, cyr, xr, yr)
-
-                rs = jax.vmap(per_candidate)(acc_T, steer_T)
+                xr, yr = batched_rollouts(cfg, backend, key, acc_T, steer_T,
+                                          init_states_global, mother=True)
+                cxr, cyr = refit_coefficients(ws, xr.reshape(nb * M, T),
+                                              yr.reshape(nb * M, T))
+                rs = jax.vmap(
+                    lambda a, b, c, d: select_reduced_set(cfg, a, b, c, d)
+                )(cxr.reshape(nb, M, -1), cyr.reshape(nb, M, -1), xr, yr)
                 xg_roll, yg_roll = rs.x_red, rs.y_red
                 beta, sigma = rs.beta, rs.sigma
             else:
-                def per_candidate(a, s):
-                    a_n, s_n = perturb_controls(key, a, s, R, cfg.noise)
-                    return rollout(a_n, s_n, init_states_global, dt, L)
-
-                xg_roll, yg_roll = jax.vmap(per_candidate)(acc_T, steer_T)
+                xg_roll, yg_roll = batched_rollouts(
+                    cfg, backend, key, acc_T, steer_T, init_states_global,
+                    mother=False)
                 beta, sigma = uniform_beta, uniform_sigma
 
             # global -> Frenet for the risk costs (cem.py:322-324)
