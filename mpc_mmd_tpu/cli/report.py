@@ -104,6 +104,75 @@ def trajectories(data_root: str, out_path: str, n_mc: int = 200,
     return out_path
 
 
+def animate(data_root: str, out_path: str, n_mc: int = 100,
+            solve_idx: int = 0, seed: int = 0, fps: int = 10):
+    """Animated rollout-cloud video (GIF via PillowWriter) — the
+    plot_traj_video.py equivalent without the celluloid/mp4 dependency."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    import jax
+    import jax.numpy as jnp
+    from ..config import dynamic_workload, static_workload
+    from ..dynamics import controls_from_trajectory, rollout
+    from ..qp import build_workspace
+    from ..utils.io_store import ResultStore
+    from ..validate import _mc_noise
+
+    store = ResultStore(data_root)
+    meta = store.meta
+    make = static_workload if meta.get("workload", "static") == "static" \
+        else dynamic_workload
+    cfg = make(num_reduced=meta["num_reduced"], num_obs=meta["num_obs"],
+               noise=meta["noise"], noise_level=meta["noise_level"],
+               num_prime=meta["num_prime"], mode=meta["mode"])
+    ws = build_workspace(cfg)
+    arrays = store.concatenated()
+    i = min(solve_idx, len(arrays["cx"]) - 1)
+    T = cfg.horizon.num_prime
+
+    cx = jnp.asarray(arrays["cx"][i])
+    cy = jnp.asarray(arrays["cy"][i])
+    init = arrays["init_state"][i]
+    xdot, ydot = ws.Pdot @ cx, ws.Pdot @ cy
+    xddot, yddot = ws.Pddot @ cx, ws.Pddot @ cy
+    acc, steer = controls_from_trajectory(xdot[None], ydot[None],
+                                          xddot[None], yddot[None],
+                                          cfg.horizon.dt,
+                                          cfg.vehicle.wheel_base)
+    a_n, s_n = _mc_noise(cfg, jax.random.PRNGKey(seed), acc[0][:T],
+                         steer[0][:T], n_mc)
+    state0 = jnp.asarray([init[0], init[1], init[2], init[3],
+                          np.arctan2(init[3], init[2])], jnp.float32)
+    xr, yr = rollout(a_n, s_n, state0, cfg.horizon.dt, cfg.vehicle.wheel_base)
+    xr, yr = np.asarray(xr), np.asarray(yr)
+    xo = arrays["x_obs_traj"][i][:, :T]
+    yo = arrays["y_obs_traj"][i][:, :T]
+
+    fig, ax = plt.subplots(figsize=(12, 3.5))
+    ax.set_xlim(xr.min() - 5, xr.max() + 10)
+    ax.set_ylim(cfg.lane.y_lb - 3, cfg.lane.y_ub + 3)
+    for yline in (cfg.lane.y_lb, cfg.lane.y_ub):
+        ax.axhline(yline, color="gray", ls="--", lw=0.8)
+    cloud = ax.scatter([], [], s=2, alpha=0.25, color="tab:blue")
+    obs_sc = ax.scatter([], [], s=60, color="tab:red", marker="s")
+    best, = ax.plot([], [], "k-", lw=1.5)
+
+    def frame(t):
+        cloud.set_offsets(np.c_[xr[:, t], yr[:, t]])
+        obs_sc.set_offsets(np.c_[xo[:, t], yo[:, t]])
+        best.set_data(np.asarray(ws.P @ cx)[:t * (100 // T) + 1],
+                      np.asarray(ws.P @ cy)[:t * (100 // T) + 1])
+        return cloud, obs_sc, best
+
+    anim = FuncAnimation(fig, frame, frames=T, blit=True)
+    anim.save(out_path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return out_path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -117,11 +186,18 @@ def main(argv=None):
     t.add_argument("--out", type=str, required=True)
     t.add_argument("--n_mc", type=int, default=200)
     t.add_argument("--n_solves", type=int, default=4)
+    a = sub.add_parser("animate")
+    a.add_argument("--data", type=str, required=True)
+    a.add_argument("--out", type=str, required=True)
+    a.add_argument("--n_mc", type=int, default=100)
+    a.add_argument("--solve_idx", type=int, default=0)
     args = p.parse_args(argv)
     if args.cmd == "boxplot":
         print(boxplot(args.stats, args.labels, args.n_mc, args.out))
-    else:
+    elif args.cmd == "trajectories":
         print(trajectories(args.data, args.out, args.n_mc, args.n_solves))
+    else:
+        print(animate(args.data, args.out, args.n_mc, args.solve_idx))
 
 
 if __name__ == "__main__":

@@ -144,3 +144,11 @@ def dryrun(n_devices: int) -> None:
     risk = jax.device_put(out.risk_obs, NamedSharding(mesh, P(SCENARIO_AXIS)))
     n_acc, mean_r, max_r = stats(risk, jnp.float32(1.0e9))
     assert int(n_acc) == S
+
+    # latency mode: candidate axis of ONE solve sharded over the mesh
+    from ..solver import Solver
+    cmesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("candidates",))
+    s_lat = Solver(cfg, ws, candidate_mesh=cmesh)
+    r = s_lat.solve(0, init_state, mean, cov, xt[0], yt[0], 15.0)
+    r.cx.block_until_ready()
+    assert bool(jnp.all(jnp.isfinite(r.cx)))

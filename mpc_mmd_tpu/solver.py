@@ -110,8 +110,15 @@ def batched_rollouts(cfg: ProblemConfig, backend: str, key, acc_T, steer_T,
     return x.reshape(C, n, T), y.reshape(C, n, T)
 
 
+def _candidate_spec(mesh):
+    """Sharding spec for per-candidate heavy tensors (leading candidate axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P("candidates"))
+
+
 def _solve(cfg: ProblemConfig, ws: Workspace, idx_mpc, init_state,
-           mean_param, cov_param, x_obs_traj, y_obs_traj, v_des) -> SolveResult:
+           mean_param, cov_param, x_obs_traj, y_obs_traj, v_des,
+           candidate_mesh=None) -> SolveResult:
     mode = cfg.risk.mode
     nb = cfg.cem.num_batch
     n_cost = cfg.cem.ellite_num_cost
@@ -159,6 +166,15 @@ def _solve(cfg: ProblemConfig, ws: Workspace, idx_mpc, init_state,
         acc_T = acc[:, :T]
         steer_T = steer[:, :T]
 
+        if candidate_mesh is not None:
+            # Latency mode: shard the heavy per-candidate segment (rollouts,
+            # reduced-set selection, risk) across the mesh.  Everything the
+            # CEM shares across candidates (params, coefficients — all tiny)
+            # stays replicated; XLA SPMD partitions the vmapped pipeline.
+            spec = _candidate_spec(candidate_mesh)
+            acc_T = jax.lax.with_sharding_constraint(acc_T, spec)
+            steer_T = jax.lax.with_sharding_constraint(steer_T, spec)
+
         if mode == "mmd_opt":
             xr, yr = batched_rollouts(cfg, backend, key, acc_T, steer_T,
                                       state0, mother=True)
@@ -195,6 +211,17 @@ def _solve(cfg: ProblemConfig, ws: Workspace, idx_mpc, init_state,
                 )(x_roll, y_roll)
             else:
                 raise ValueError(f"unknown risk mode {mode!r}")
+
+        if candidate_mesh is not None:
+            # gather the small per-candidate outputs back to replicated for
+            # the selection/update stages (risk scalars + reduced rollouts
+            # are KB-sized; one all-gather over ICI)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(candidate_mesh, P())
+            risk_obs = jax.lax.with_sharding_constraint(risk_obs, rep)
+            y_roll = jax.lax.with_sharding_constraint(y_roll, rep)
+            beta = jax.lax.with_sharding_constraint(beta, rep)
+            sigma = jax.lax.with_sharding_constraint(sigma, rep)
 
         # ---- keep top-n_cost by obstacle risk ------------------------------
         order2 = jnp.argsort(risk_obs)[:n_cost]
@@ -267,10 +294,15 @@ class Solver:
         result = solver.solve(seed, init_state, mean, cov, x_obs, y_obs, v_des)
     """
 
-    def __init__(self, cfg: ProblemConfig, ws: Optional[Workspace] = None):
+    def __init__(self, cfg: ProblemConfig, ws: Optional[Workspace] = None,
+                 candidate_mesh=None):
+        """candidate_mesh: a 1-axis Mesh named "candidates" — shards one
+        solve's heavy per-candidate pipeline across chips (latency mode;
+        the num_batch axis must divide the mesh size evenly)."""
         self.cfg = cfg
         self.ws = ws if ws is not None else build_workspace(cfg)
-        self._solve = jax.jit(partial(_solve, cfg, self.ws))
+        self._solve = jax.jit(partial(_solve, cfg, self.ws,
+                                      candidate_mesh=candidate_mesh))
         # Sweep entry: vmap over (seed, obstacle-set) scenario axes.
         self._solve_batch = jax.jit(jax.vmap(
             partial(_solve, cfg, self.ws),

@@ -87,3 +87,5 @@ def test_sweep_validate_report_end_to_end(tmp_path, monkeypatch):
     fig2 = report_cli.trajectories(store.root, str(tmp_path / "traj.png"),
                                    n_mc=20, n_solves=1)
     assert os.path.exists(fig2)
+    gif = report_cli.animate(store.root, str(tmp_path / "traj.gif"), n_mc=10)
+    assert os.path.exists(gif)

@@ -80,5 +80,30 @@ def test_sweep_statistics_psum(mesh):
     assert float(max_r) == 15.0
 
 
+def test_candidate_sharded_solve_matches_plain():
+    """Latency mode: one solve's candidate axis sharded across 4 devices
+    produces the same result as the unsharded solve."""
+    from jax.sharding import Mesh
+    from mpc_mmd_tpu.solver import Solver
+    cfg = static_workload(num_reduced=3, num_obs=2, num_prime=15,
+                          mode="mmd_opt")
+    cfg = cfg.replace(cem=dataclasses.replace(cfg.cem, maxiter_cem=2),
+                      beta_cem=dataclasses.replace(cfg.beta_cem, maxiter=2))
+    cmesh = Mesh(np.array(jax.devices()[:4]), ("candidates",))
+    ws = build_workspace(cfg)
+    s_sh = Solver(cfg, ws, candidate_mesh=cmesh)
+    s_pl = Solver(cfg, ws)
+    batch = static_grid(cfg, 1)
+    init_state, mean, cov, v_des = ego_initial_state("static")
+    r1 = s_sh.solve(7, init_state, mean, cov, batch.x_traj[0],
+                    batch.y_traj[0], v_des)
+    r2 = s_pl.solve(7, init_state, mean, cov, batch.x_traj[0],
+                    batch.y_traj[0], v_des)
+    np.testing.assert_allclose(np.asarray(r1.res), np.asarray(r2.res),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1.cx), np.asarray(r2.cx),
+                               atol=1e-4)
+
+
 def test_dryrun_entrypoint():
     dryrun(8)
