@@ -181,6 +181,8 @@ class RiskConfig:
     weight_cvar_obs: float = 1.0e3
     weight_saa_lane: float = 1.0e6
     weight_saa_obs: float = 1.0e6
+    # desired-lane risk (zero in every reference config; carla cem.py:172-176)
+    weight_lane_des: float = 0.0
 
     def __post_init__(self):
         if self.mode not in RISK_MODES:

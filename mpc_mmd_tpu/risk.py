@@ -113,3 +113,36 @@ def saa_lane(cfg: ProblemConfig, y_roll: jnp.ndarray) -> jnp.ndarray:
     lb, ub = lane_bars(cfg, y_roll)
     return (saa_reduce(lb, cfg.risk.num_reduced)
             + saa_reduce(ub, cfg.risk.num_reduced))
+
+
+# ---------------------------------------------------------------------------
+# Desired-lane variants (zero-weighted in every reference config but part of
+# the cost surface; ref costs.py:73-118).  The violation "bar" is the
+# reference's exact (quirky) form: the product of the SCALAR Frobenius
+# distances of the whole rollout block to each lane center, minus the margin,
+# broadcast and reduced like the other bars.
+# ---------------------------------------------------------------------------
+
+def lane_des_bar(cfg: ProblemConfig, y_roll: jnp.ndarray) -> jnp.ndarray:
+    c1 = jnp.linalg.norm(y_roll - cfg.lane.y_des_1)
+    c2 = jnp.linalg.norm(y_roll - cfg.lane.y_des_2)
+    cost = c1 * c2 - cfg.lane.gamma_lane_des
+    bar = jnp.maximum(jnp.zeros_like(y_roll), cost)
+    return jnp.max(bar, axis=-1)                       # (R,)
+
+
+def mmd_lane_des(cfg: ProblemConfig, beta: jnp.ndarray, sigma: jnp.ndarray,
+                 y_roll: jnp.ndarray) -> jnp.ndarray:
+    """Ref: costs.py:73-87 (carla signature with per-candidate beta/sigma)."""
+    return mmd_vs_zero(beta, lane_des_bar(cfg, y_roll), sigma,
+                       cfg.risk.ker_wt)
+
+
+def cvar_lane_des(cfg: ProblemConfig, y_roll: jnp.ndarray) -> jnp.ndarray:
+    """Ref: costs.py:89-105."""
+    return cvar_reduce(lane_des_bar(cfg, y_roll), cfg.risk.alpha_quant_lane)
+
+
+def saa_lane_des(cfg: ProblemConfig, y_roll: jnp.ndarray) -> jnp.ndarray:
+    """Ref: costs.py:107-118."""
+    return saa_reduce(lane_des_bar(cfg, y_roll), cfg.risk.num_reduced)

@@ -212,8 +212,24 @@ def _solve_frenet(cfg: ProblemConfig, ws: Workspace, idx_mpc,
         else:
             risk_lane = jnp.zeros(n_cost)
 
+        w_des = cfg.risk.weight_lane_des
+        if w_des != 0.0 and mode != "det":
+            if mode in ("mmd_opt", "mmd_random"):
+                risk_des = jax.vmap(
+                    lambda b, sg, yr: risk_mod.mmd_lane_des(cfg, b, sg, yr)
+                )(beta_e, sigma_e, l_roll_e)
+            elif mode == "cvar":
+                risk_des = jax.vmap(
+                    lambda yr: risk_mod.cvar_lane_des(cfg, yr))(l_roll_e)
+            else:
+                risk_des = jax.vmap(
+                    lambda yr: risk_mod.saa_lane_des(cfg, yr))(l_roll_e)
+            risk_des = w_des * risk_des
+        else:
+            risk_des = jnp.zeros(n_cost)
+
         cost_batch = _frenet_scalar_cost(
-            cfg, jnp.zeros(n_cost), w_obs * risk_obs_e, w_lane * risk_lane,
+            cfg, risk_des, w_obs * risk_obs_e, w_lane * risk_lane,
             y_e, res_e, xdot_e, ydot_e, xddot_e, yddot_e, steer_e, kappa_e,
             v_des)
 
