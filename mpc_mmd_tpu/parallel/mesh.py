@@ -40,6 +40,26 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (axis,))
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: ``jax.distributed.initialize`` + sanity barrier.
+
+    Call once per process before ``make_mesh`` on a pod slice; arguments
+    default to the TPU environment auto-detection.  Returns the process
+    index.  Single-process callers may skip this entirely.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    # barrier: every process must see the same global device count
+    n = jax.device_count()
+    assert n >= jax.local_device_count()
+    return jax.process_index()
+
+
 def sharded_sweep(cfg: ProblemConfig, ws: Optional[Workspace] = None,
                   mesh: Optional[Mesh] = None):
     """Build a jitted scenario-sharded sweep function.
