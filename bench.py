@@ -2,66 +2,104 @@
 
 Config pinned to BASELINE.json: mmd_opt cost, num_prime=50, 6 obstacles,
 num_batch=100 candidates, num_reduced=10 (mother set = 100 rollouts),
-gaussian noise 0.1 — the reference's heaviest published workload shape.
+gaussian noise 0.1 — the reference's heaviest workload shape.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
 vs_baseline is the speedup over the reference implementation's measured
-solves/s on CPU (benchmarks/reference_cpu_baseline.json; the reference
-publishes no numbers and supports no accelerator — SURVEY.md §6).
+solves/s on CPU (benchmarks/reference_cpu_baseline.json — the reference
+publishes no numbers and supports no accelerator, SURVEY.md §6).
+
+Secondary metrics (p99 single-solve latency, scenario batch used) go to
+stderr.  The scenario batch adapts downward on device OOM (the mmd_opt
+inner-CEM gathers are HBM-hungry on small chips).
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _build(cfg):
     import jax
     import jax.numpy as jnp
 
-    from mpc_mmd_tpu import Solver, static_workload
+    from mpc_mmd_tpu import Solver
     from mpc_mmd_tpu.dynamics import constant_velocity_obstacles
 
-    num_obs = 6
-    cfg = static_workload(num_reduced=10, num_obs=num_obs, num_prime=50,
-                          mode="mmd_opt", noise="gaussian", noise_level=0.1)
     solver = Solver(cfg)
-
-    # Scenario batch: distinct obstacle configs, like main_mpc.py's sweep.
-    # Default scenario batch sized for a single small chip: the mmd_opt inner
-    # CEM materializes O(S * candidates * samples * k * mother) gather temps.
-    S = int(os.environ.get("BENCH_SCENARIOS", "4"))
+    num_obs = cfg.obstacles.num_obs
     rng = np.random.default_rng(0)
     grid = np.array([35, 40, 45, 50, 55, 60, 65, 70, 75], dtype=np.float64)
-    x0 = np.stack([rng.choice(grid, num_obs, replace=False) for _ in range(S)])
-    y0 = rng.choice(np.array([-1.75, 1.75]), (S, num_obs))
-    zeros = jnp.zeros((S, num_obs))
-    xt, yt, _ = jax.vmap(
-        lambda a, b, c, d, e: constant_velocity_obstacles(
-            a, b, c, d, e, solver.ws.tot_time)
-    )(jnp.asarray(x0), jnp.asarray(y0), zeros, zeros, zeros)
+
+    def scenarios(S):
+        x0 = np.stack([rng.choice(grid, num_obs, replace=False)
+                       for _ in range(S)])
+        y0 = rng.choice(np.array([-1.75, 1.75]), (S, num_obs))
+        zeros = jnp.zeros((S, num_obs))
+        xt, yt, _ = jax.vmap(
+            lambda a, b, c, d, e: constant_velocity_obstacles(
+                a, b, c, d, e, solver.ws.tot_time)
+        )(jnp.asarray(x0), jnp.asarray(y0), zeros, zeros, zeros)
+        return xt, yt
 
     init_state = jnp.asarray([0.0, 1.75, 5.0, 0.0, 0.0, 0.0])
     mean = jnp.asarray([15.0] * 4 + [0.0] * 4)
     cov = jnp.asarray(np.diag([20.0] * 4 + [100.0] * 4), jnp.float32)
-    seeds = jnp.arange(S, dtype=jnp.int32)
+    return solver, scenarios, (init_state, mean, cov)
 
-    # Warmup / compile
-    out = solver.solve_batch(seeds, init_state, mean, cov, xt, yt, 15.0)
-    out.cx.block_until_ready()
 
-    # Steady-state timing
+def main():
+    import jax.numpy as jnp
+
+    from mpc_mmd_tpu import static_workload
+
+    cfg = static_workload(num_reduced=10, num_obs=6, num_prime=50,
+                          mode="mmd_opt", noise="gaussian", noise_level=0.1)
+    solver, scenarios, (init_state, mean, cov) = _build(cfg)
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    t0 = time.perf_counter()
-    for r in range(reps):
-        out = solver.solve_batch(seeds + r * S, init_state, mean, cov,
-                                 xt, yt, 15.0)
-    out.cx.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    solves_per_s = S * reps / elapsed
+
+    S = int(os.environ.get("BENCH_SCENARIOS", "4"))
+    solves_per_s = None
+    while S >= 1:
+        try:
+            xt, yt = scenarios(S)
+            seeds = jnp.arange(S, dtype=jnp.int32)
+            out = solver.solve_batch(seeds, init_state, mean, cov, xt, yt, 15.0)
+            out.cx.block_until_ready()
+            t0 = time.perf_counter()
+            for r in range(reps):
+                out = solver.solve_batch(seeds + r * S, init_state, mean, cov,
+                                         xt, yt, 15.0)
+            out.cx.block_until_ready()
+            elapsed = time.perf_counter() - t0
+            solves_per_s = S * reps / elapsed
+            break
+        except Exception as e:  # device OOM / kernel fault -> shrink batch
+            print(f"bench: batch {S} failed ({type(e).__name__}); halving",
+                  file=sys.stderr)
+            S //= 2
+    if solves_per_s is None:
+        raise SystemExit("bench failed at every batch size")
+
+    # secondary: single-solve latency distribution
+    try:
+        xt1, yt1 = scenarios(1)
+        lat = []
+        for k in range(10):
+            t0 = time.perf_counter()
+            r = solver.solve(100 + k, init_state, mean, cov, xt1[0], yt1[0],
+                             15.0)
+            r.cx.block_until_ready()
+            lat.append(time.perf_counter() - t0)
+        print(json.dumps({"p50_solve_ms": round(1e3 * float(np.percentile(lat, 50)), 2),
+                          "p99_solve_ms": round(1e3 * float(np.percentile(lat, 99)), 2),
+                          "scenario_batch": S}), file=sys.stderr)
+    except Exception:
+        pass
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "reference_cpu_baseline.json")
