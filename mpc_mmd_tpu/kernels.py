@@ -23,6 +23,7 @@ provided here as first-class options.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -55,6 +56,42 @@ def matern52_kernel(dists_l1: jnp.ndarray, dists_l2sq: jnp.ndarray,
     kernel_computation.py:41-53)."""
     r1 = jnp.sqrt(5.0) * dists_l1 / sigma
     return (1.0 + r1 + 5.0 * dists_l2sq / (3.0 * sigma ** 2)) * jnp.exp(-r1)
+
+
+def blockwise_mmd_vs_zero(beta: jnp.ndarray, cost: jnp.ndarray, sigma,
+                          ker_wt: float, block: int = 1024) -> jnp.ndarray:
+    """MMD-vs-zero for very large sample ensembles without materializing the
+    (N, N) Gram matrix.
+
+    The quadratic term beta^T K beta tiles over row blocks with on-chip
+    accumulation — the same blockwise structure as flash/ring attention, which
+    is this domain's honest "long-context analog" (SURVEY.md §5): the sample
+    axis, not sequence, is what grows at pod scale.  Peak memory O(block * N)
+    instead of O(N^2).  Exact (no approximation).
+    """
+    n = cost.shape[-1]
+    if n % block:
+        pad = block - n % block
+        # zero-weighted padding contributes nothing to either term
+        beta = jnp.concatenate((beta, jnp.zeros(beta.shape[:-1] + (pad,))),
+                               axis=-1)
+        cost = jnp.concatenate((cost, jnp.zeros(cost.shape[:-1] + (pad,))),
+                               axis=-1)
+        n = n + pad
+    nb = n // block
+    beta_b = beta.reshape(nb, block)
+    cost_b = cost.reshape(nb, block)
+
+    def row_block(acc, i):
+        ci = jax.lax.dynamic_index_in_dim(cost_b, i, keepdims=False)
+        bi = jax.lax.dynamic_index_in_dim(beta_b, i, keepdims=False)
+        K_rows = jnp.exp(-jnp.abs(ci[:, None] - cost.reshape(-1)[None, :])
+                         / sigma)
+        return acc + bi @ (K_rows @ beta.reshape(-1)), None
+
+    quad, _ = jax.lax.scan(row_block, jnp.float32(0.0), jnp.arange(nb))
+    cross = jnp.sum(beta * jnp.exp(-jnp.abs(cost) / sigma), axis=-1)
+    return ker_wt * (quad - 2.0 * cross)
 
 
 def mmd_vs_zero(beta: jnp.ndarray, cost: jnp.ndarray, sigma,

@@ -66,6 +66,19 @@ def test_mmd_vs_zero_matches_reference():
     assert got == pytest.approx(ref, rel=1e-4, abs=1e-4)
 
 
+def test_blockwise_mmd_matches_dense(rng):
+    from mpc_mmd_tpu.kernels import blockwise_mmd_vs_zero
+    n = 3000
+    beta = jnp.asarray(rng.dirichlet(np.ones(n)), jnp.float32)
+    cost = jnp.asarray(np.abs(rng.normal(0, 1, n)), jnp.float32)
+    dense = float(mmd_vs_zero(beta, cost, 2.0, 1000.0))
+    tiled = float(blockwise_mmd_vs_zero(beta, cost, 2.0, 1000.0, block=512))
+    assert tiled == pytest.approx(dense, rel=1e-4, abs=1e-3)
+    # non-divisible block size exercises the zero-weight padding
+    tiled2 = float(blockwise_mmd_vs_zero(beta, cost, 2.0, 1000.0, block=1024))
+    assert tiled2 == pytest.approx(dense, rel=1e-4, abs=1e-3)
+
+
 def test_mmd_batched_sigma(rng):
     """Vector sigma broadcasting over a leading batch axis."""
     beta = jnp.asarray(rng.normal(0, 1, (3, 5)))
