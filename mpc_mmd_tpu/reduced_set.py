@@ -133,14 +133,30 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
         key, samples = carry
         sigma = samples[:, -1]                               # (S,)
 
-        idx_sorted = jnp.argsort(jnp.abs(samples[:, :M]), axis=1)
-        idx_top = idx_sorted[:, M - k:]                      # (S, k) ascending |beta|
+        if fast:
+            # top-k by |beta| via lax.top_k (descending; the reduced-set QP
+            # and MMD are permutation-invariant, and beta/rollout outputs
+            # stay index-consistent).  ~10x cheaper than the reference's
+            # full argsort on TPU.
+            _, idx_top = jax.lax.top_k(jnp.abs(samples[:, :M]), k)  # (S, k)
+        else:
+            idx_sorted = jnp.argsort(jnp.abs(samples[:, :M]), axis=1)
+            idx_top = idx_sorted[:, M - k:]                  # ascending |beta|
 
-        rows = D[idx_top]                                    # (S, k, M)
+        rows = D[idx_top]                                    # (S, k, M) sublane gather
         K_mixed = jnp.exp(-rows / sigma[:, None, None])
-        sub = jnp.take_along_axis(
-            rows, jnp.broadcast_to(idx_top[:, None, :], (S, k, k)), axis=2)
-        K_red = jnp.exp(-sub / sigma[:, None, None])
+        if fast:
+            # Column sub-selection as a one-hot MXU contraction: dynamic
+            # gathers along the minor (lane) axis scalarize on TPU (profiled
+            # ~12 ms/iter at S=M=100); exp commutes with selection so
+            # K_red[i, j] = K_mixed[i, idx_j] = K_mixed @ onehot^T.
+            onehot = (idx_top[:, :, None]
+                      == jnp.arange(M)[None, None, :]).astype(K_mixed.dtype)
+            K_red = jnp.einsum("skm,sjm->skj", K_mixed, onehot)
+        else:
+            sub = jnp.take_along_axis(
+                rows, jnp.broadcast_to(idx_top[:, None, :], (S, k, k)), axis=2)
+            K_red = jnp.exp(-sub / sigma[:, None, None])
 
         beta_opt, cost = _beta_qp(K_red, K_mixed, cfg)       # (S, k), (S,)
 
