@@ -161,17 +161,21 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
             idx_sorted = jnp.argsort(jnp.abs(samples[:, :M]), axis=1)
             idx_top = idx_sorted[:, M - k:]                  # ascending |beta|
 
-        rows = D[idx_top]                                    # (S, k, M) sublane gather
-        K_mixed = jnp.exp(-rows / sigma[:, None, None])
         if fast:
-            # Column sub-selection as a one-hot MXU contraction: dynamic
-            # gathers along the minor (lane) axis scalarize on TPU (profiled
-            # ~12 ms/iter at S=M=100); exp commutes with selection so
-            # K_red[i, j] = K_mixed[i, idx_j] = K_mixed @ onehot^T.
+            # Irregular memory access -> dense MXU contractions.  Both the
+            # row gather D[idx_top] and the column sub-selection scalarize
+            # on TPU (profiled ~0.2 s/solve for the row gather alone, and
+            # ~12 ms/iter for the lane-axis take_along_axis); as one-hot
+            # matmuls they ride the systolic array, and exp commutes with
+            # selection so K_red[i, j] = exp(-rows)[i, idx_j].
             onehot = (idx_top[:, :, None]
-                      == jnp.arange(M)[None, None, :]).astype(K_mixed.dtype)
+                      == jnp.arange(M)[None, None, :]).astype(D.dtype)
+            rows = jnp.einsum("skr,rm->skm", onehot, D)      # (S, k, M)
+            K_mixed = jnp.exp(-rows / sigma[:, None, None])
             K_red = jnp.einsum("skm,sjm->skj", K_mixed, onehot)
         else:
+            rows = D[idx_top]                                # (S, k, M)
+            K_mixed = jnp.exp(-rows / sigma[:, None, None])
             sub = jnp.take_along_axis(
                 rows, jnp.broadcast_to(idx_top[:, None, :], (S, k, k)), axis=2)
             K_red = jnp.exp(-sub / sigma[:, None, None])
