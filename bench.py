@@ -62,28 +62,44 @@ def main():
     solver, scenarios, (init_state, mean, cov) = _build(cfg)
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
-    S = int(os.environ.get("BENCH_SCENARIOS", "4"))
-    solves_per_s = None
-    while S >= 1:
+    # Scenario batching interacts with HBM pressure (the inner-CEM gather
+    # temps): on small chips single-stream beats batching, on big chips the
+    # reverse.  Measure the candidate batch sizes and report the best.
+    S_max = int(os.environ.get("BENCH_SCENARIOS", "4"))
+    candidates = sorted({1, max(S_max // 2, 1), S_max})
+    best = None
+    for S in candidates:
         try:
             xt, yt = scenarios(S)
             seeds = jnp.arange(S, dtype=jnp.int32)
-            out = solver.solve_batch(seeds, init_state, mean, cov, xt, yt, 15.0)
-            out.cx.block_until_ready()
-            t0 = time.perf_counter()
-            for r in range(reps):
-                out = solver.solve_batch(seeds + r * S, init_state, mean, cov,
-                                         xt, yt, 15.0)
-            out.cx.block_until_ready()
-            elapsed = time.perf_counter() - t0
-            solves_per_s = S * reps / elapsed
-            break
-        except Exception as e:  # device OOM / kernel fault -> shrink batch
-            print(f"bench: batch {S} failed ({type(e).__name__}); halving",
+            if S == 1:
+                out = solver.solve(0, init_state, mean, cov, xt[0], yt[0], 15.0)
+                out.cx.block_until_ready()
+                t0 = time.perf_counter()
+                for r in range(reps * 2):
+                    out = solver.solve(r + 1, init_state, mean, cov, xt[0],
+                                       yt[0], 15.0)
+                out.cx.block_until_ready()
+                rate = reps * 2 / (time.perf_counter() - t0)
+            else:
+                out = solver.solve_batch(seeds, init_state, mean, cov, xt, yt,
+                                         15.0)
+                out.cx.block_until_ready()
+                t0 = time.perf_counter()
+                for r in range(reps):
+                    out = solver.solve_batch(seeds + r * S, init_state, mean,
+                                             cov, xt, yt, 15.0)
+                out.cx.block_until_ready()
+                rate = S * reps / (time.perf_counter() - t0)
+            print(f"bench: batch {S}: {rate:.3f} solves/s", file=sys.stderr)
+            if best is None or rate > best:
+                best = rate
+        except Exception as e:  # device OOM / kernel fault at this size
+            print(f"bench: batch {S} failed ({type(e).__name__})",
                   file=sys.stderr)
-            S //= 2
-    if solves_per_s is None:
+    if best is None:
         raise SystemExit("bench failed at every batch size")
+    solves_per_s = best
 
     # secondary: single-solve latency distribution
     try:

@@ -70,9 +70,18 @@ def _beta_qp(K_red: jnp.ndarray, K_mixed: jnp.ndarray, cfg: ProblemConfig):
         sol = jnp.linalg.solve(kkt, rhs[..., None])[..., 0]
         beta = sol[:, :k]
     else:
-        # Block elimination (C is PD thanks to the qp_reg ridge): two small
-        # SPD solves as fused vector ops — no LAPACK/LU custom-calls.
-        beta = eq_qp_solve(cost, -lincost)
+        # Block elimination (C is PD thanks to the qp_reg ridge).  On TPU a
+        # single Pallas kernel runs the whole factorization in registers
+        # (ops/qp_pallas.py); elsewhere the fused-jnp unroll (linalg.py).
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from .ops.qp_pallas import eq_qp_solve_pallas
+            beta = eq_qp_solve_pallas(cost, -lincost)
+        else:
+            beta = eq_qp_solve(cost, -lincost)
 
     q = -2.0 * (1.0 / M) * jnp.sum(K_mixed, axis=2)
     mmd = (jnp.einsum("si,sij,sj->s", beta, K_red, beta)
