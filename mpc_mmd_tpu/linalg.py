@@ -82,10 +82,13 @@ def eq_qp_solve(C: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
         mu = (1^T z - 1) / (1^T w),   b = z - mu * w.
     Equivalent to the reference's dense KKT ``jnp.linalg.solve``
     (compute_beta.py:74-81) but runs as fused vector ops.
+
+    Returns (b, mu); the multiplier lets callers recover the quadratic form
+    b^T C b = b^T r - mu without an O(n^2) contraction.
     """
     L = cholesky_small(C)
     ones = jnp.ones_like(r)
     z = cho_solve_small(L, r)
     w = cho_solve_small(L, ones)
     mu = (jnp.sum(z, axis=-1) - 1.0) / jnp.sum(w, axis=-1)
-    return z - mu[..., None] * w
+    return z - mu[..., None] * w, mu

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE_BLOCK = 512
 
 
-def _qp_kernel(c_ref, r_ref, b_ref, *, n: int):
+def _qp_kernel(c_ref, r_ref, b_ref, mu_ref, *, n: int):
     # c_ref: (n*n, BB); r_ref: (n, BB); b_ref: (n, BB)
     a = [[c_ref[i * n + j, :] for j in range(n)] for i in range(n)]
     rb = [r_ref[i, :] for i in range(n)]
@@ -78,6 +78,7 @@ def _qp_kernel(c_ref, r_ref, b_ref, *, n: int):
     mu = (sum_z - 1.0) / sum_w
     for i in range(n):
         b_ref[i, :] = z[i] - mu * w[i]
+    mu_ref[0, :] = mu
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -107,7 +108,7 @@ def eq_qp_solve_pallas(C: jnp.ndarray, r: jnp.ndarray,
         BB //= 2
 
     kernel = functools.partial(_qp_kernel, n=n)
-    b_t = pl.pallas_call(
+    b_t, mu_t = pl.pallas_call(
         kernel,
         grid=(B_pad // BB,),
         in_specs=[
@@ -115,9 +116,15 @@ def eq_qp_solve_pallas(C: jnp.ndarray, r: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, BB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, BB), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, B_pad), C.dtype),
+        out_specs=[
+            pl.BlockSpec((n, BB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, B_pad), C.dtype),
+            jax.ShapeDtypeStruct((1, B_pad), C.dtype),
+        ],
         interpret=interpret,
     )(c_t, r_t)
-    return b_t[:, :B].T.reshape(batch_shape + (n,))
+    return (b_t[:, :B].T.reshape(batch_shape + (n,)),
+            mu_t[0, :B].reshape(batch_shape))
