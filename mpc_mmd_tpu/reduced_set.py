@@ -47,18 +47,21 @@ class ReducedSet(NamedTuple):
     res: jnp.ndarray        # (maxiter,) per-iteration best MMD residual
 
 
-def _beta_qp(K_red: jnp.ndarray, K_mixed: jnp.ndarray, cfg: ProblemConfig):
+def _beta_qp(K_red: jnp.ndarray, row_sum: jnp.ndarray, M: int,
+             cfg: ProblemConfig):
     """Equality-constrained QP for optimal reduced-set weights (batched).
 
-    min_b  rho*b^T K_red b - 2*rho/M * 1^T K_mixed^T b   s.t.  sum(b) = 1
+    min_b  rho*b^T K_red b - 2*rho/M * row_sum . b   s.t.  sum(b) = 1
 
-    K_red: (S, k, k); K_mixed: (S, k, M).  Returns (beta (S,k), mmd_cost (S,)).
+    K_red: (..., k, k); row_sum = sum_m K_mixed: (..., k).
+    Returns (beta (..., k), mmd_cost (...)).
     Ref: compute_beta.py:70-91 (KKT assembly + the dropped constant terms).
     """
     b = cfg.beta_cem
-    S, k, M = K_mixed.shape
+    k = K_red.shape[-1]
+    S = K_red.shape[0]
     cost = b.rho_beta * K_red + b.qp_reg * jnp.eye(k)
-    lincost = -b.rho_beta * (1.0 / M) * jnp.sum(K_mixed, axis=2)  # (S, k)
+    lincost = -b.rho_beta * (1.0 / M) * row_sum
 
     if cfg.solve_strategy == "exact":
         # Dense KKT solve, bit-matching the reference (compute_beta.py:74-81).
@@ -69,7 +72,7 @@ def _beta_qp(K_red: jnp.ndarray, K_mixed: jnp.ndarray, cfg: ProblemConfig):
         rhs = jnp.concatenate((-lincost, jnp.ones((S, 1))), axis=1)
         sol = jnp.linalg.solve(kkt, rhs[..., None])[..., 0]
         beta = sol[:, :k]
-        q = -2.0 * (1.0 / M) * jnp.sum(K_mixed, axis=2)
+        q = -2.0 * (1.0 / M) * row_sum
         mmd = (jnp.einsum("si,sij,sj->s", beta, K_red, beta)
                + jnp.einsum("si,si->s", q, beta))
         return beta, mmd
@@ -93,8 +96,8 @@ def _beta_qp(K_red: jnp.ndarray, K_mixed: jnp.ndarray, cfg: ProblemConfig):
     #   b' K_red b = (b.r - mu - reg |b|^2) / rho,
     # so  mmd = (-b.r - mu - reg |b|^2) / rho  — three (S, k) dot products
     # instead of the O(S k^2) contraction (profiled ~90 ms/solve).
-    br = jnp.sum(beta * r, axis=1)
-    mmd = (-br - mu - b.qp_reg * jnp.sum(beta * beta, axis=1)) / b.rho_beta
+    br = jnp.sum(beta * r, axis=-1)
+    mmd = (-br - mu - b.qp_reg * jnp.sum(beta * beta, axis=-1)) / b.rho_beta
     return beta, mmd
 
 
@@ -198,7 +201,8 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
                 rows, jnp.broadcast_to(idx_top[:, None, :], (S, k, k)), axis=2)
             K_red = jnp.exp(-sub / sigma[:, None, None])
 
-        beta_opt, cost = _beta_qp(K_red, K_mixed, cfg)       # (S, k), (S,)
+        row_sum = jnp.sum(K_mixed, axis=2)                   # (S, k)
+        beta_opt, cost = _beta_qp(K_red, row_sum, M, cfg)    # (S, k), (S,)
 
         # --- CEM update (ref compute_beta.py:51-68) ------------------------
         key, _ = jax.random.split(key)
@@ -235,3 +239,86 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
     return ReducedSet(beta=betas[-1], sigma=sigmas[-1],
                       x_red=x_roll[idx_best], y_red=y_roll[idx_best],
                       res=mins)
+
+
+def use_fused_inner_cem(cfg: ProblemConfig) -> bool:
+    """Fused Pallas selection kernel path: fast mode on TPU."""
+    if cfg.solve_strategy == "exact":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
+                               cy: jnp.ndarray, x_roll: jnp.ndarray,
+                               y_roll: jnp.ndarray,
+                               interpret: bool = False) -> ReducedSet:
+    """All-candidate inner CEM with the fused Pallas selection stage.
+
+    cx, cy: (C, M, nvar); x_roll, y_roll: (C, M, T).  Semantically equal to
+    ``vmap(select_reduced_set)`` in fast mode (the CEM noise is shared across
+    candidates in both — the reference's inner CEM carries no per-candidate
+    key).  The top-k + kernel-matrix stage runs as ONE Pallas kernel per
+    iteration (ops/topk_kernel_pallas.py) instead of ~10 memory passes over
+    the (C, S, M) tensor; the QP uses the register kernel (ops/qp_pallas.py).
+    """
+    from .ops.topk_kernel_pallas import topk_kernel_matrices
+
+    b = cfg.beta_cem
+    M = cfg.risk.num_mother
+    k = cfg.risk.num_reduced
+    S = b.num_samples_cem
+    n_el = b.num_ellite
+    C = cx.shape[0]
+
+    feats = jnp.concatenate((cx, cy), axis=2)               # (C, M, 2*nvar)
+    D = pairwise_l1(feats, feats)                            # (C, M, M)
+
+    key0, _ = jax.random.split(jax.random.PRNGKey(0))
+    init_key, _ = jax.random.split(key0)
+    samples0 = jnp.sqrt(b.init_cov_scale) * jax.random.normal(
+        init_key, (S, M + 1))
+    samples0 = samples0.at[:, -1].set(jnp.clip(samples0[:, -1], b.sigma_clip))
+    samples0 = jnp.broadcast_to(samples0[None], (C, S, M + 1))
+
+    inv_sqrt = 1.0 / jnp.sqrt(n_el - 1.0)
+    sqrt_jit = jnp.sqrt(b.cov_jitter)
+
+    def iteration(carry, _):
+        key, samples = carry
+        row_sum, K_red, idx_top = topk_kernel_matrices(
+            samples, D, k, interpret=interpret)
+        beta_opt, cost = _beta_qp(K_red, row_sum, M, cfg)    # (C,S,k), (C,S)
+
+        key, _sub = jax.random.split(key)
+        upd_key, _sub2 = jax.random.split(key)
+        order = jnp.argsort(cost, axis=1)
+        elites = jnp.take_along_axis(samples, order[:, :n_el, None], axis=1)
+        mean = jnp.mean(elites, axis=1)
+        ku, kz = jax.random.split(upd_key)
+        u = jax.random.normal(ku, (S - n_el, n_el))
+        z = jax.random.normal(kz, (S - n_el, M + 1))
+        fresh = (mean[:, None]
+                 + jnp.einsum("se,cem->csm", u, elites - mean[:, None])
+                 * inv_sqrt + sqrt_jit * z[None])
+        new_samples = jnp.concatenate((elites, fresh), axis=1)
+        new_samples = new_samples.at[:, :, -1].set(
+            jnp.clip(new_samples[:, :, -1], b.sigma_clip))
+
+        i_min = jnp.argmin(cost, axis=1)                     # (C,)
+        take = lambda a: jnp.take_along_axis(
+            a, i_min.reshape((C,) + (1,) * (a.ndim - 1)), axis=1).squeeze(1)
+        best = (take(beta_opt), take(new_samples)[..., -1], take(idx_top),
+                jnp.min(cost, axis=1))
+        return (key, new_samples), best
+
+    (_, _), (betas, sigmas, idxs, mins) = lax.scan(
+        iteration, (key0, samples0), None, length=b.maxiter)
+
+    idx_best = idxs[-1]                                      # (C, k)
+    x_red = jnp.take_along_axis(x_roll, idx_best[:, :, None], axis=1)
+    y_red = jnp.take_along_axis(y_roll, idx_best[:, :, None], axis=1)
+    return ReducedSet(beta=betas[-1], sigma=sigmas[-1], x_red=x_red,
+                      y_red=y_red, res=jnp.moveaxis(mins, 0, 1))

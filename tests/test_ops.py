@@ -1,11 +1,20 @@
 """Pallas kernels vs their XLA reference implementations (interpret mode)."""
 
+import dataclasses
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from mpc_mmd_tpu import static_workload
 from mpc_mmd_tpu.dynamics import rollout
+from mpc_mmd_tpu.linalg import eq_qp_solve
 from mpc_mmd_tpu.ops import fused_rollout
+from mpc_mmd_tpu.ops.qp_pallas import eq_qp_solve_pallas
+from mpc_mmd_tpu.ops.topk_kernel_pallas import topk_kernel_matrices
+from mpc_mmd_tpu.reduced_set import (select_reduced_set,
+                                     select_reduced_set_batched)
 
 
 @pytest.mark.parametrize("L,T", [(256, 50), (1000, 30), (100, 20)])
@@ -17,6 +26,73 @@ def test_fused_rollout_matches_scan(rng, L, T):
     x2, y2 = fused_rollout(acc, steer, state0, 0.15, 2.5, interpret=True)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+@pytest.mark.parametrize("batch,n", [((37,), 4), ((3, 50), 6), ((1,), 11)])
+def test_eq_qp_solve_pallas_matches_linalg(rng, batch, n):
+    A = jnp.asarray(rng.normal(0, 1, batch + (n, n)), jnp.float32)
+    C = jnp.einsum("...ij,...kj->...ik", A, A) + 2.0 * jnp.eye(n)
+    r = jnp.asarray(rng.normal(0, 1, batch + (n,)), jnp.float32)
+    b1, mu1 = eq_qp_solve(C, r)
+    b2, mu2 = eq_qp_solve_pallas(C, r, interpret=True)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2),
+                               rtol=1e-4, atol=1e-5)
+    # constraint satisfied exactly-ish
+    np.testing.assert_allclose(np.asarray(jnp.sum(b2, axis=-1)), 1.0,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("C,S,M,k", [(2, 100, 9, 3), (1, 130, 25, 5)])
+def test_topk_kernel_matrices_matches_xla(rng, C, S, M, k):
+    samples = jnp.asarray(rng.normal(0, 1, (C, S, M + 1)), jnp.float32)
+    samples = samples.at[:, :, -1].set(jnp.abs(samples[:, :, -1]) + 0.2)
+    D = jnp.abs(jnp.asarray(rng.normal(0, 1, (C, M, M)), jnp.float32))
+    D = D + jnp.swapaxes(D, 1, 2)
+
+    row_sum, K_red, idx = topk_kernel_matrices(samples, D, k, interpret=True)
+
+    # XLA fast-path reference (reduced_set.select_reduced_set inner loop)
+    from mpc_mmd_tpu.reduced_set import _topk_indices
+    idx_ref = jax.vmap(lambda s: _topk_indices(jnp.abs(s[:, :M]), k))(samples)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    onehot = (idx_ref[..., None] == jnp.arange(M)).astype(jnp.float32)
+    rows = jnp.einsum("cskr,crm->cskm", onehot, D)
+    sig = samples[:, :, -1]
+    K_mixed = jnp.exp(-rows / sig[:, :, None, None])
+    np.testing.assert_allclose(np.asarray(row_sum),
+                               np.asarray(jnp.sum(K_mixed, axis=3)),
+                               rtol=1e-5, atol=1e-5)
+    K_red_ref = jnp.einsum("cskm,csjm->cskj", K_mixed, onehot)
+    np.testing.assert_allclose(np.asarray(K_red), np.asarray(K_red_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_batched_inner_cem_matches_vmap(rng):
+    cfg = static_workload(num_reduced=3, num_obs=2, num_prime=15,
+                          mode="mmd_opt")
+    cfg = cfg.replace(
+        beta_cem=dataclasses.replace(cfg.beta_cem, maxiter=4))
+    M = cfg.risk.num_mother
+    Cn, nvar, T = 3, 11, 20
+    cx = jnp.asarray(rng.normal(0, 1, (Cn, M, nvar)), jnp.float32)
+    cy = jnp.asarray(rng.normal(0, 1, (Cn, M, nvar)), jnp.float32)
+    xr = jnp.asarray(rng.normal(0, 1, (Cn, M, T)), jnp.float32)
+    yr = jnp.asarray(rng.normal(0, 1, (Cn, M, T)), jnp.float32)
+
+    ref = jax.vmap(lambda a, b, c, d: select_reduced_set(cfg, a, b, c, d))(
+        cx, cy, xr, yr)
+    got = select_reduced_set_batched(cfg, cx, cy, xr, yr, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(ref.res), np.asarray(got.res),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.beta), np.asarray(got.beta),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.sigma), np.asarray(got.sigma),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.x_red), np.asarray(got.x_red))
+    np.testing.assert_array_equal(np.asarray(ref.y_red), np.asarray(got.y_red))
 
 
 def test_fused_rollout_per_lane_init_states(rng):
