@@ -242,7 +242,15 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
 
 
 def use_fused_inner_cem(cfg: ProblemConfig) -> bool:
-    """Fused Pallas selection kernel path: fast mode on TPU."""
+    """Fused Pallas selection kernel path: fast mode on TPU.
+
+    ``MPC_MMD_FUSED_CEM=0`` / ``=1`` overrides the backend heuristic
+    (debug/bisect knob).
+    """
+    import os
+    env = os.environ.get("MPC_MMD_FUSED_CEM")
+    if env is not None and env in ("0", "1"):
+        return env == "1" and cfg.solve_strategy != "exact"
     if cfg.solve_strategy == "exact":
         return False
     try:
