@@ -242,21 +242,22 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
 
 
 def use_fused_inner_cem(cfg: ProblemConfig) -> bool:
-    """Fused Pallas selection kernel path: fast mode on TPU.
+    """Whether to run the fused Pallas selection-stage path (opt-in only).
 
-    ``MPC_MMD_FUSED_CEM=0`` / ``=1`` overrides the backend heuristic
-    (debug/bisect knob).
+    Measured on a real v5e-lite chip the fused kernel LOSES to the XLA
+    fast path (0.88 s vs 0.33 s per mmd_opt solve at the baseline config):
+    the (C, S/128) grid serializes ~100 small blocks per call on the single
+    TensorCore, the same launch/iteration-bound failure mode as the reverted
+    inner-CEM megakernel (see git history).  XLA's large fused batched ops
+    over the flattened (C*S) axis use the VPU/MXU better.  The kernel and
+    the batched driver stay available behind ``MPC_MMD_FUSED_CEM=1`` for
+    bigger chips/future re-evaluation; interpret-mode parity tests keep
+    them honest.
     """
     import os
-    env = os.environ.get("MPC_MMD_FUSED_CEM")
-    if env is not None and env in ("0", "1"):
-        return env == "1" and cfg.solve_strategy != "exact"
     if cfg.solve_strategy == "exact":
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return os.environ.get("MPC_MMD_FUSED_CEM") == "1"
 
 
 def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
