@@ -207,8 +207,15 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
         # --- CEM update (ref compute_beta.py:51-68) ------------------------
         key, _ = jax.random.split(key)
         upd_key, _sub = jax.random.split(key)
-        order = jnp.argsort(cost)
-        elites = samples[order[:n_el]]
+        if fast:
+            # only the n_el best are consumed; full argsort lowers to a TPU
+            # sort network, n_el argmin-and-mask rounds are pure VPU ops.
+            # Tie-breaking matches stable argsort (first index wins).
+            idx_el = _topk_indices(-cost, n_el)              # (n_el,)
+            elites = samples[idx_el]
+        else:
+            order = jnp.argsort(cost)
+            elites = samples[order[:n_el]]
         mean = jnp.mean(elites, axis=0)
         if fast:
             ku, kz = jax.random.split(upd_key)
@@ -303,8 +310,8 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
 
         key, _sub = jax.random.split(key)
         upd_key, _sub2 = jax.random.split(key)
-        order = jnp.argsort(cost, axis=1)
-        elites = jnp.take_along_axis(samples, order[:, :n_el, None], axis=1)
+        idx_el = _topk_indices(-cost, n_el)                  # (C, n_el)
+        elites = jnp.take_along_axis(samples, idx_el[..., None], axis=1)
         mean = jnp.mean(elites, axis=1)
         ku, kz = jax.random.split(upd_key)
         u = jax.random.normal(ku, (S - n_el, n_el))
