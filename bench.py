@@ -10,9 +10,14 @@ vs_baseline is the speedup over the reference implementation's measured
 solves/s on CPU (benchmarks/reference_cpu_baseline.json — the reference
 publishes no numbers and supports no accelerator, SURVEY.md §6).
 
-Secondary metrics (p99 single-solve latency, scenario batch used) go to
-stderr.  The scenario batch adapts downward on device OOM (the mmd_opt
-inner-CEM gathers are HBM-hungry on small chips).
+Structure is headline-first: ONE program variant (single-stream S=1) is
+compiled (against the persistent XLA compilation cache, so only the very
+first process on a machine pays the cold compile) and the headline JSON is
+printed immediately after the first timed loop.  Optional extras — scenario
+batching rates and the single-solve latency distribution — run AFTER the
+headline and report to stderr, so a tunnel hiccup there can't cost the round
+its number.  Set BENCH_SCENARIOS>1 to measure batched rates, BENCH_EXTRAS=0
+to skip all extras.
 """
 
 import json
@@ -53,6 +58,11 @@ def _build(cfg):
 
 
 def main():
+    from mpc_mmd_tpu.utils.compilation_cache import enable_persistent_cache
+    cache_dir = enable_persistent_cache()
+    print(f"bench: jax compilation cache -> {cache_dir or 'disabled'}",
+          file=sys.stderr)
+
     import jax.numpy as jnp
 
     from mpc_mmd_tpu import static_workload
@@ -62,60 +72,18 @@ def main():
     solver, scenarios, (init_state, mean, cov) = _build(cfg)
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
-    # Scenario batching interacts with HBM pressure (the inner-CEM gather
-    # temps): on small chips single-stream beats batching, on big chips the
-    # reverse.  Measure the candidate batch sizes and report the best.
-    S_max = int(os.environ.get("BENCH_SCENARIOS", "4"))
-    candidates = sorted({1, max(S_max // 2, 1), S_max})
-    best = None
-    for S in candidates:
-        try:
-            xt, yt = scenarios(S)
-            seeds = jnp.arange(S, dtype=jnp.int32)
-            if S == 1:
-                out = solver.solve(0, init_state, mean, cov, xt[0], yt[0], 15.0)
-                out.cx.block_until_ready()
-                t0 = time.perf_counter()
-                for r in range(reps * 2):
-                    out = solver.solve(r + 1, init_state, mean, cov, xt[0],
-                                       yt[0], 15.0)
-                out.cx.block_until_ready()
-                rate = reps * 2 / (time.perf_counter() - t0)
-            else:
-                out = solver.solve_batch(seeds, init_state, mean, cov, xt, yt,
-                                         15.0)
-                out.cx.block_until_ready()
-                t0 = time.perf_counter()
-                for r in range(reps):
-                    out = solver.solve_batch(seeds + r * S, init_state, mean,
-                                             cov, xt, yt, 15.0)
-                out.cx.block_until_ready()
-                rate = S * reps / (time.perf_counter() - t0)
-            print(f"bench: batch {S}: {rate:.3f} solves/s", file=sys.stderr)
-            if best is None or rate > best:
-                best = rate
-        except Exception as e:  # device OOM / kernel fault at this size
-            print(f"bench: batch {S} failed ({type(e).__name__})",
-                  file=sys.stderr)
-    if best is None:
-        raise SystemExit("bench failed at every batch size")
-    solves_per_s = best
-
-    # secondary: single-solve latency distribution
-    try:
-        xt1, yt1 = scenarios(1)
-        lat = []
-        for k in range(10):
-            t0 = time.perf_counter()
-            r = solver.solve(100 + k, init_state, mean, cov, xt1[0], yt1[0],
-                             15.0)
-            r.cx.block_until_ready()
-            lat.append(time.perf_counter() - t0)
-        print(json.dumps({"p50_solve_ms": round(1e3 * float(np.percentile(lat, 50)), 2),
-                          "p99_solve_ms": round(1e3 * float(np.percentile(lat, 99)), 2),
-                          "scenario_batch": S}), file=sys.stderr)
-    except Exception:
-        pass
+    # ---- headline: single-stream solves/s, ONE compiled program ----------
+    xt1, yt1 = scenarios(1)
+    t0 = time.perf_counter()
+    out = solver.solve(0, init_state, mean, cov, xt1[0], yt1[0], 15.0)
+    out.cx.block_until_ready()
+    print(f"bench: warmup (compile or cache hit) {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    for r in range(reps * 2):
+        out = solver.solve(r + 1, init_state, mean, cov, xt1[0], yt1[0], 15.0)
+    out.cx.block_until_ready()
+    solves_per_s = reps * 2 / (time.perf_counter() - t0)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "reference_cpu_baseline.json")
@@ -133,6 +101,54 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
     }))
+    sys.stdout.flush()
+
+    if os.environ.get("BENCH_EXTRAS", "1") == "0":
+        return
+
+    # ---- extras (stderr only; failures here never cost the headline) -----
+    try:
+        lat = []
+        for k in range(10):
+            t0 = time.perf_counter()
+            r = solver.solve(100 + k, init_state, mean, cov, xt1[0], yt1[0],
+                             15.0)
+            r.cx.block_until_ready()
+            lat.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "p50_solve_ms": round(1e3 * float(np.percentile(lat, 50)), 2),
+            "p99_solve_ms": round(1e3 * float(np.percentile(lat, 99)), 2),
+        }), file=sys.stderr)
+    except Exception as e:
+        print(f"bench: latency extras failed ({type(e).__name__})",
+              file=sys.stderr)
+
+    # Scenario batching interacts with HBM pressure (the inner-CEM gather
+    # temps): measure batched rates only when explicitly requested.
+    S_max = int(os.environ.get("BENCH_SCENARIOS", "1"))
+    best, best_S = solves_per_s, 1
+    for S in sorted({s for s in (max(S_max // 2, 1), S_max) if s > 1}):
+        try:
+            xt, yt = scenarios(S)
+            seeds = jnp.arange(S, dtype=jnp.int32)
+            out = solver.solve_batch(seeds, init_state, mean, cov, xt, yt,
+                                     15.0)
+            out.cx.block_until_ready()
+            t0 = time.perf_counter()
+            for r in range(reps):
+                out = solver.solve_batch(seeds + r * S, init_state, mean,
+                                         cov, xt, yt, 15.0)
+            out.cx.block_until_ready()
+            rate = S * reps / (time.perf_counter() - t0)
+            print(f"bench: batch {S}: {rate:.3f} solves/s", file=sys.stderr)
+            if rate > best:
+                best, best_S = rate, S
+        except Exception as e:  # device OOM / kernel fault at this size
+            print(f"bench: batch {S} failed ({type(e).__name__})",
+                  file=sys.stderr)
+    if best_S != 1:
+        print(json.dumps({"best_batched_rate": round(best, 3),
+                          "best_scenario_batch": best_S}), file=sys.stderr)
 
 
 if __name__ == "__main__":
