@@ -1,0 +1,77 @@
+"""Pallas TPU kernel: row-wise top-k indices in one HBM pass.
+
+The inner beta-CEM selects the k largest |beta| entries of every sample
+(ref ``synthetic_static_obs/compute_beta.py:117-118`` does a full argsort).
+On TPU every XLA formulation — ``lax.top_k`` (sort network), argsort slices,
+k argmax-and-mask rounds — costs 0.2-0.4 ms per inner iteration at the
+production shape (10^4 rows x 100 lanes) because the k data-dependent
+rounds make repeated HBM passes over the 4 MB operand.  Profiled in-scan
+(benchmarks/PROFILE_NOTES.md round 2): this stage alone was ~45% of the
+inner-CEM iteration.
+
+This kernel performs the k max+mask rounds entirely in VMEM per row-block:
+one 4 MB read, a (rows, k) write, ~30 VPU passes over registers.  Semantics
+match ``lax.top_k`` / stable argsort-descending: values descending,
+first-occurrence index wins ties.
+
+Indices are produced as f32 (Mosaic rejects some int vector casts in this
+composition) and cast to int32 by the caller-facing wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_BLOCK = 512
+
+
+def _kernel(x_ref, idx_ref, *, k: int, M: int):
+    x = x_ref[...]                               # (B, M)
+    B = x.shape[0]
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1).astype(jnp.float32)
+    cols = []
+    for _ in range(k):
+        m = jnp.max(x, axis=1, keepdims=True)
+        first = jnp.min(jnp.where(x >= m, iota_f, jnp.float32(M)),
+                        axis=1, keepdims=True)
+        cols.append(first[:, 0])
+        x = jnp.where(jnp.abs(iota_f - first) < 0.5, -jnp.inf, x)
+    idx_ref[...] = jnp.stack(cols, axis=1)       # (B, k) f32
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def topk_indices_pallas(x: jnp.ndarray, k: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Top-k indices (descending value order) along the last axis.
+
+    x: (..., M) float32.  Returns (..., k) int32.  Ties: first index wins
+    (matches lax.top_k and stable argsort on -x).
+    """
+    shape = x.shape
+    M = shape[-1]
+    rows_in = int(np.prod(shape[:-1]))
+    xf = x.reshape(rows_in, M)
+    B = min(_ROW_BLOCK, max(8, rows_in))
+    rows = int(np.ceil(rows_in / B) * B)
+    if rows != rows_in:
+        xf = jnp.concatenate(
+            (xf, jnp.zeros((rows - rows_in, M), xf.dtype)), axis=0)
+
+    idx = pl.pallas_call(
+        functools.partial(_kernel, k=k, M=M),
+        grid=(rows // B,),
+        in_specs=[pl.BlockSpec((B, M), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, k), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, k), jnp.float32),
+        interpret=interpret,
+    )(xf)
+    return idx[:rows_in].astype(jnp.int32).reshape(shape[:-1] + (k,))

@@ -39,7 +39,11 @@ from .linalg import eq_qp_solve
 
 
 class ReducedSet(NamedTuple):
-    beta: jnp.ndarray       # (k,) optimal weights (ascending-|beta| order)
+    beta: jnp.ndarray       # (k,) optimal weights.  Slot order depends on
+    #                       #  solve_strategy: ascending-|beta| for "exact"
+    #                       #  (reference argsort), descending for the fast
+    #                       #  path (_topk).  beta/x_red/y_red slots always
+    #                       #  stay index-consistent with each other.
     sigma: jnp.ndarray      # ()   kernel bandwidth (reference quirk: drawn
     #                       #      from the *post-update* sample batch)
     x_red: jnp.ndarray      # (k, T) reduced rollouts
@@ -117,6 +121,26 @@ def _topk_indices(x: jnp.ndarray, k: int) -> jnp.ndarray:
         idxs.append(i)
         x = jnp.where(iota == i[..., None], -jnp.inf, x)
     return jnp.stack(idxs, axis=-1)
+
+
+def _topk(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Backend-dispatched top-k indices (descending; ties -> first index).
+
+    On TPU the in-scan cost of ANY XLA formulation (top_k sort network,
+    argsort slice, argmax-and-mask rounds) is 0.2-0.4 ms per inner-CEM
+    iteration at the production (10^4, 100) shape — the k data-dependent
+    rounds make repeated HBM passes.  The Pallas kernel
+    (ops/topk_pallas.py) does the rounds in VMEM in one pass (~2x the
+    whole stage); elsewhere fall back to argmax rounds.
+    """
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from .ops.topk_pallas import topk_indices_pallas
+        return topk_indices_pallas(x, k)
+    return _topk_indices(x, k)
 
 
 def _cov_ddof1(X: jnp.ndarray) -> jnp.ndarray:
@@ -223,13 +247,17 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
             z = jax.random.normal(kz, (S - n_el, M + 1))
             fresh = (mean + (u @ (elites - mean)) / jnp.sqrt(n_el - 1.0)
                      + jnp.sqrt(b.cov_jitter) * z)
+            # elites' sigma lane is already clipped (inductively), so
+            # clipping just the fresh rows is exact and saves a pass.
+            fresh = fresh.at[:, -1].set(jnp.clip(fresh[:, -1], b.sigma_clip))
+            new_samples = jnp.concatenate((elites, fresh), axis=0)
         else:
             cov = _cov_ddof1(elites) + b.cov_jitter * jnp.eye(M + 1)
             fresh = jax.random.multivariate_normal(upd_key, mean, cov,
                                                    (S - n_el,))
-        new_samples = jnp.concatenate((elites, fresh), axis=0)
-        new_samples = new_samples.at[:, -1].set(
-            jnp.clip(new_samples[:, -1], b.sigma_clip))
+            new_samples = jnp.concatenate((elites, fresh), axis=0)
+            new_samples = new_samples.at[:, -1].set(
+                jnp.clip(new_samples[:, -1], b.sigma_clip))
 
         i_min = jnp.argmin(cost)
         best = (beta_opt[i_min],
@@ -249,7 +277,12 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
 
 
 def use_fused_inner_cem(cfg: ProblemConfig) -> bool:
-    """Whether to run the fused Pallas selection-stage path (opt-in only).
+    """Whether to run the fused Pallas selection-STAGE kernel (opt-in only).
+
+    Note this selects between two *selection-stage* implementations inside
+    :func:`select_reduced_set_batched` (which is the production fast-mode
+    inner CEM either way); it no longer switches between batched and
+    vmapped drivers.
 
     Measured on a real v5e-lite chip the fused kernel LOSES to the XLA
     fast path (0.88 s vs 0.33 s per mmd_opt solve at the baseline config):
@@ -270,17 +303,27 @@ def use_fused_inner_cem(cfg: ProblemConfig) -> bool:
 def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
                                cy: jnp.ndarray, x_roll: jnp.ndarray,
                                y_roll: jnp.ndarray,
-                               interpret: bool = False) -> ReducedSet:
-    """All-candidate inner CEM with the fused Pallas selection stage.
+                               interpret: bool = False,
+                               selection: str | None = None) -> ReducedSet:
+    """All-candidate inner CEM (the production fast-mode path).
 
     cx, cy: (C, M, nvar); x_roll, y_roll: (C, M, T).  Semantically equal to
     ``vmap(select_reduced_set)`` in fast mode (the CEM noise is shared across
     candidates in both — the reference's inner CEM carries no per-candidate
-    key).  The top-k + kernel-matrix stage runs as ONE Pallas kernel per
-    iteration (ops/topk_kernel_pallas.py) instead of ~10 memory passes over
-    the (C, S, M) tensor; the QP uses the register kernel (ops/qp_pallas.py).
+    key), verified by tests/test_ops.py::test_batched_inner_cem_matches_vmap.
+
+    selection: "xla" (default) runs the top-k via the one-pass Pallas kernel
+    (ops/topk_pallas.py on TPU; argmax rounds elsewhere) and the kernel
+    matrices as one-hot MXU einsums, which XLA fuses with the exp —
+    profiled fastest on v5e.  "fused" runs the whole selection stage as the
+    round-1 Pallas kernel (ops/topk_kernel_pallas.py) — kept behind
+    MPC_MMD_FUSED_CEM=1 for bigger chips (it lost on v5e-lite, see
+    benchmarks/PROFILE_NOTES.md).
     """
-    from .ops.topk_kernel_pallas import topk_kernel_matrices
+    if selection is None:
+        selection = "fused" if use_fused_inner_cem(cfg) else "xla"
+    if selection == "fused":
+        from .ops.topk_kernel_pallas import topk_kernel_matrices
 
     b = cfg.beta_cem
     M = cfg.risk.num_mother
@@ -304,13 +347,23 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
 
     def iteration(carry, _):
         key, samples = carry
-        row_sum, K_red, idx_top = topk_kernel_matrices(
-            samples, D, k, interpret=interpret)
+        if selection == "fused":
+            row_sum, K_red, idx_top = topk_kernel_matrices(
+                samples, D, k, interpret=interpret)
+        else:
+            sigma = samples[..., -1]                         # (C, S), clipped
+            idx_top = _topk(jnp.abs(samples[..., :M]), k)    # (C, S, k)
+            onehot = (idx_top[..., None]
+                      == jnp.arange(M)).astype(D.dtype)      # (C, S, k, M)
+            rows = jnp.einsum("cskr,crm->cskm", onehot, D)
+            K_mixed = jnp.exp(-rows / sigma[..., None, None])
+            K_red = jnp.einsum("cskm,csjm->cskj", K_mixed, onehot)
+            row_sum = jnp.sum(K_mixed, axis=-1)
         beta_opt, cost = _beta_qp(K_red, row_sum, M, cfg)    # (C,S,k), (C,S)
 
         key, _sub = jax.random.split(key)
         upd_key, _sub2 = jax.random.split(key)
-        idx_el = _topk_indices(-cost, n_el)                  # (C, n_el)
+        idx_el = _topk(-cost, n_el)                          # (C, n_el)
         elites = jnp.take_along_axis(samples, idx_el[..., None], axis=1)
         mean = jnp.mean(elites, axis=1)
         ku, kz = jax.random.split(upd_key)
@@ -319,9 +372,11 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         fresh = (mean[:, None]
                  + jnp.einsum("se,cem->csm", u, elites - mean[:, None])
                  * inv_sqrt + sqrt_jit * z[None])
+        # elites' sigma lane is already clipped (inductively: samples0 and
+        # every written batch are), so clipping just the fresh rows before
+        # the concat is exact and saves one full-tensor pass.
+        fresh = fresh.at[:, :, -1].set(jnp.clip(fresh[:, :, -1], b.sigma_clip))
         new_samples = jnp.concatenate((elites, fresh), axis=1)
-        new_samples = new_samples.at[:, :, -1].set(
-            jnp.clip(new_samples[:, :, -1], b.sigma_clip))
 
         i_min = jnp.argmin(cost, axis=1)                     # (C,)
         take = lambda a: jnp.take_along_axis(

@@ -41,8 +41,7 @@ from .dynamics import (controls_from_trajectory, mother_product,
 from .qp import Workspace, boundary_vectors, build_workspace, compute_guess, \
     refit_coefficients
 from .projection import project
-from .reduced_set import (select_reduced_set, select_reduced_set_batched,
-                          use_fused_inner_cem)
+from .reduced_set import select_reduced_set, select_reduced_set_batched
 from .sampling import cem_update, initial_params, scalar_cost
 
 
@@ -183,12 +182,16 @@ def _solve(cfg: ProblemConfig, ws: Workspace, idx_mpc, init_state,
                                           yr.reshape(nb * M, T))
             cxr = cxr.reshape(nb, M, -1)
             cyr = cyr.reshape(nb, M, -1)
-            if use_fused_inner_cem(cfg):
-                rs = select_reduced_set_batched(cfg, cxr, cyr, xr, yr)
-            else:
+            if cfg.solve_strategy == "exact":
+                # reference-parity path: per-candidate exact inner CEM
                 rs = jax.vmap(
                     lambda a, b, c, d: select_reduced_set(cfg, a, b, c, d)
                 )(cxr, cyr, xr, yr)
+            else:
+                # production path: one batched inner CEM over all candidates
+                # (selection backend chosen inside: XLA einsums + Pallas
+                # top-k by default, MPC_MMD_FUSED_CEM=1 for the fused kernel)
+                rs = select_reduced_set_batched(cfg, cxr, cyr, xr, yr)
             x_roll, y_roll = rs.x_red, rs.y_red
             beta, sigma, res_beta = rs.beta, rs.sigma, rs.res
             risk_obs = jax.vmap(

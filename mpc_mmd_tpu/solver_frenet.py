@@ -33,8 +33,7 @@ from .dynamics import controls_from_trajectory
 from .frenet import FrenetFrame, global_to_frenet_points, global_to_frenet_state
 from .qp import Workspace, build_workspace, compute_guess, refit_coefficients
 from .projection import project
-from .reduced_set import (select_reduced_set, select_reduced_set_batched,
-                          use_fused_inner_cem)
+from .reduced_set import select_reduced_set, select_reduced_set_batched
 from .sampling import cem_update, initial_params, scalar_cost
 from .solver import batched_rollouts, resolve_rollout_backend
 
@@ -165,14 +164,14 @@ def _solve_frenet(cfg: ProblemConfig, ws: Workspace, idx_mpc,
                                           init_states_global, mother=True)
                 cxr, cyr = refit_coefficients(ws, xr.reshape(nb * M, T),
                                               yr.reshape(nb * M, T))
-                if use_fused_inner_cem(cfg):
-                    rs = select_reduced_set_batched(
-                        cfg, cxr.reshape(nb, M, -1), cyr.reshape(nb, M, -1),
-                        xr, yr)
-                else:
+                if cfg.solve_strategy == "exact":
                     rs = jax.vmap(
                         lambda a, b, c, d: select_reduced_set(cfg, a, b, c, d)
                     )(cxr.reshape(nb, M, -1), cyr.reshape(nb, M, -1), xr, yr)
+                else:
+                    rs = select_reduced_set_batched(
+                        cfg, cxr.reshape(nb, M, -1), cyr.reshape(nb, M, -1),
+                        xr, yr)
                 xg_roll, yg_roll = rs.x_red, rs.y_red
                 beta, sigma = rs.beta, rs.sigma
             else:

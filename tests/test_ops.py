@@ -69,6 +69,21 @@ def test_topk_kernel_matrices_matches_xla(rng, C, S, M, k):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("shape,k", [((100, 100, 100), 10), ((7, 33), 5),
+                                     ((600, 100), 11)])
+def test_topk_pallas_matches_top_k(rng, shape, k):
+    from mpc_mmd_tpu.ops.topk_pallas import topk_indices_pallas
+    x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    ref = jax.lax.top_k(x, k)[1]
+    got = topk_indices_pallas(x, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    # ties: first occurrence must win, matching top_k / stable argsort
+    xt = jnp.round(x * 2) / 2
+    np.testing.assert_array_equal(
+        np.asarray(jax.lax.top_k(xt, k)[1]),
+        np.asarray(topk_indices_pallas(xt, k, interpret=True)))
+
+
 def test_use_fused_inner_cem_env_override(monkeypatch):
     from mpc_mmd_tpu.reduced_set import use_fused_inner_cem
     cfg = static_workload(num_reduced=3, num_obs=2, num_prime=15,
