@@ -27,6 +27,7 @@ TPU-native notes
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -302,18 +303,36 @@ class Solver:
     """
 
     def __init__(self, cfg: ProblemConfig, ws: Optional[Workspace] = None,
-                 candidate_mesh=None):
+                 candidate_mesh=None, scenario_chunk: Optional[int] = None):
         """candidate_mesh: a 1-axis Mesh named "candidates" — shards one
         solve's heavy per-candidate pipeline across chips (latency mode;
-        the num_batch axis must divide the mesh size evenly)."""
+        the num_batch axis must divide the mesh size evenly).
+
+        scenario_chunk: how many scenarios run *concurrently* inside
+        ``solve_batch`` (the rest pipeline sequentially via ``lax.map``
+        within the same compiled program).  The mmd_opt inner CEM's
+        selection intermediates scale with chunk x num_batch x S x k x M
+        and fall off an HBM cliff beyond ~1 scenario on small chips
+        (profiled: every stage goes superlinear at 2x the candidate
+        count), so the default is 1 — full-batch sweeps then run at
+        single-stream throughput with one dispatch, instead of thrashing.
+        Raise it on big-HBM parts (v5p) where the working set fits."""
         self.cfg = cfg
         self.ws = ws if ws is not None else build_workspace(cfg)
         self._solve = jax.jit(partial(_solve, cfg, self.ws,
                                       candidate_mesh=candidate_mesh))
-        # Sweep entry: vmap over (seed, obstacle-set) scenario axes.
-        self._solve_batch = jax.jit(jax.vmap(
-            partial(_solve, cfg, self.ws),
-            in_axes=(0, None, None, None, 0, 0, None)))
+        if scenario_chunk is None:
+            scenario_chunk = int(os.environ.get("MPC_MMD_SCENARIO_CHUNK", "1"))
+        self.scenario_chunk = max(1, scenario_chunk)
+        solve_fn = partial(_solve, cfg, self.ws)
+
+        def batch(seeds, init_state, mean_param, cov_param, xts, yts, v_des):
+            return lax.map(
+                lambda sxy: solve_fn(sxy[0], init_state, mean_param,
+                                     cov_param, sxy[1], sxy[2], v_des),
+                (seeds, xts, yts), batch_size=self.scenario_chunk)
+
+        self._solve_batch = jax.jit(batch)
 
     def solve(self, idx_mpc, init_state, mean_param, cov_param,
               x_obs_traj, y_obs_traj, v_des) -> SolveResult:
