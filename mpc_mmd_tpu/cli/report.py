@@ -40,6 +40,61 @@ def boxplot(stats_paths, labels, n_mc: int, out_path: str):
     return out_path
 
 
+def grid_boxplot(stats_root: str, noise: str, noise_levels, num_reduced_sets,
+                 num_obs: int, num_prime: int, n_mc: int, out_path: str,
+                 modes=("mmd_opt", "cvar")):
+    """(num_reduced x noise_level) grid of paired box plots — the
+    reference's headline figure (plot_box_plots.py:102-143).  Each cell
+    compares ``coll_{mode}`` arrays from the paired stats npz written by
+    cli/validate.py's --compare join; values are collision % out of n_mc
+    Monte-Carlo rollouts (plot_box_plots.py:109-111)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    mode_labels = {"mmd_opt": r"$r_{MMD}^{emp}$", "cvar": r"$r_{CVaR}^{emp}$",
+                   "mmd_random": r"$r_{MMD}^{rand}$", "saa": r"$r_{SAA}$"}
+    colors = {"mmd_opt": "tab:red", "cvar": "tab:cyan",
+              "mmd_random": "tab:blue", "saa": "tab:green"}
+
+    nrows, ncols = len(num_reduced_sets), len(noise_levels)
+    fig, axs = plt.subplots(nrows, ncols, squeeze=False,
+                            figsize=(4.0 * ncols, 3.0 * nrows),
+                            layout="constrained")
+    for i, num_reduced in enumerate(num_reduced_sets):
+        for j, lvl in enumerate(noise_levels):
+            ax = axs[i][j]
+            path = os.path.join(
+                stats_root, f"{noise}_noise", f"noise_{int(lvl * 100)}",
+                f"ts_{num_prime}", f"{num_reduced}_samples_{num_obs}_obs.npz")
+            if not os.path.exists(path):
+                ax.set_axis_off()
+                continue
+            with np.load(path) as z:
+                present = [m for m in modes if f"coll_{m}" in z]
+                data = [z[f"coll_{m}"] / n_mc * 100.0 for m in present]
+            bp = ax.boxplot(data, showfliers=False, widths=0.8,
+                            patch_artist=False)
+            for box, m in zip(bp["boxes"], present):
+                box.set(color=colors.get(m, "black"), linewidth=2.5)
+            for med in bp["medians"]:
+                med.set(color="orange", linewidth=2.5)
+            ax.text(0.05, 0.95, f"$N={num_reduced}$",
+                    transform=ax.transAxes, va="top",
+                    bbox=dict(boxstyle="round", facecolor="wheat", alpha=0.5))
+            ax.set_xticks(range(1, len(present) + 1),
+                          [mode_labels.get(m, m) for m in present])
+            if j == 0:
+                ax.set_ylabel("%Collisions", fontweight="bold")
+            if i == nrows - 1:
+                ax.set_xlabel(f"{noise} noise {lvl}", fontweight="bold")
+    fig.suptitle(f"MC collision %, {noise} noise, horizon {num_prime}",
+                 fontweight="bold")
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def trajectories(data_root: str, out_path: str, n_mc: int = 200,
                  n_solves: int = 4, seed: int = 0):
     import matplotlib
@@ -181,6 +236,17 @@ def main(argv=None):
     b.add_argument("--labels", type=str, nargs="+", required=True)
     b.add_argument("--n_mc", type=int, default=1000)
     b.add_argument("--out", type=str, required=True)
+    g = sub.add_parser("grid")
+    g.add_argument("--stats_root", type=str, required=True)
+    g.add_argument("--noise", type=str, default="gaussian")
+    g.add_argument("--noise_levels", type=float, nargs="+", required=True)
+    g.add_argument("--num_reduced_sets", type=int, nargs="+", required=True)
+    g.add_argument("--num_obs", type=int, required=True)
+    g.add_argument("--num_prime", type=int, required=True)
+    g.add_argument("--n_mc", type=int, default=1000)
+    g.add_argument("--modes", type=str, nargs="+",
+                   default=["mmd_opt", "cvar"])
+    g.add_argument("--out", type=str, required=True)
     t = sub.add_parser("trajectories")
     t.add_argument("--data", type=str, required=True)
     t.add_argument("--out", type=str, required=True)
@@ -194,6 +260,11 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.cmd == "boxplot":
         print(boxplot(args.stats, args.labels, args.n_mc, args.out))
+    elif args.cmd == "grid":
+        print(grid_boxplot(args.stats_root, args.noise, args.noise_levels,
+                           args.num_reduced_sets, args.num_obs,
+                           args.num_prime, args.n_mc, args.out,
+                           modes=tuple(args.modes)))
     elif args.cmd == "trajectories":
         print(trajectories(args.data, args.out, args.n_mc, args.n_solves))
     else:

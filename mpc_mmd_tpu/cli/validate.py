@@ -2,13 +2,22 @@
 
 Replaces ``synthetic_static_obs/validation.py`` / dynamic variant: reads a
 ResultStore written by the sweep CLI, re-rolls n_mc noisy rollouts per solve
-on device, and writes collision/lane statistics to a stats store.  The
-reference's config-intersection step (validation.py:284-304, so that mmd and
-cvar are compared on the same scenarios) becomes an explicit seed/obstacle
-join here.
+on device, and writes collision/lane statistics to a stats store.
+
+``validate_compare`` implements the reference's config-intersection step
+(validation.py:284-304): the (init_state || x_obs || y_obs || vx_obs ||
+vy_obs) row of each accepted solve is the scenario key, keys are intersected
+across all modes, and only the common scenarios are validated — so mmd and
+cvar box plots compare the SAME scenario set.  Stats land in the reference's
+layout (validation.py:459-464):
+``stats/{noise}_noise/noise_{lvl}/ts_{np}/{N}_samples_{M}_obs.npz`` with
+``coll_{mode}`` / ``coll_{mode}_lane`` arrays, which cli/report.py's grid
+box plot consumes.
 
 Usage:
     python -m mpc_mmd_tpu.cli.validate --data ./data/static/... --n_mc 1000
+    python -m mpc_mmd_tpu.cli.validate --compare ./data/static/.../mmd_opt_* \
+        ./data/static/.../cvar_* --n_mc 1000 --out ./stats
 """
 
 from __future__ import annotations
@@ -75,16 +84,125 @@ def validate_store(data_root: str, n_mc: int = 1000, seed: int = 0,
     return out
 
 
+def scenario_keys(arrays: dict, num_obs: int) -> list:
+    """Per-solve scenario key rows (validation.py:284-295): hstack of
+    init_state and the obstacle config, hashed as float tuples."""
+    mat = np.hstack([
+        np.asarray(arrays["init_state"], np.float64),
+        np.asarray(arrays["x_obs"], np.float64)[:, :num_obs],
+        np.asarray(arrays["y_obs"], np.float64)[:, :num_obs],
+        np.asarray(arrays["vx_obs"], np.float64)[:, :num_obs],
+        np.asarray(arrays["vy_obs"], np.float64)[:, :num_obs],
+    ])
+    return [tuple(row) for row in mat]
+
+
+def intersect_stores(all_arrays: list, num_obs: int) -> list:
+    """Row indices per store covering exactly the scenarios accepted by
+    EVERY store (set intersection, first occurrence wins on duplicates —
+    validation.py:296-325).  Returns one index array per input; all outputs
+    have equal length and row i of each refers to the same scenario."""
+    key_lists = [scenario_keys(a, num_obs) for a in all_arrays]
+    common = set(key_lists[0])
+    for keys in key_lists[1:]:
+        common &= set(keys)
+    # Deterministic scenario order: sort the key tuples.
+    common = sorted(common)
+    out = []
+    for keys in key_lists:
+        first = {}
+        for i, k in enumerate(keys):
+            first.setdefault(k, i)
+        out.append(np.asarray([first[k] for k in common], np.int64))
+    return out
+
+
+def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
+                     out_root: str = "./stats") -> dict:
+    """Joint validation of one scenario config swept under several modes.
+
+    All stores must share (workload, noise, noise_level, num_reduced,
+    num_obs, num_prime); the mode differs.  Writes the reference's stats
+    npz (validation.py:459-464) and returns the per-mode collision arrays.
+    """
+    stores = [ResultStore(r) for r in data_roots]
+    metas = [s.meta for s in stores]
+    base = metas[0]
+    for m in metas[1:]:
+        for k in ("workload", "noise", "noise_level", "num_reduced",
+                  "num_obs", "num_prime"):
+            if m.get(k) != base.get(k):
+                raise ValueError(f"store mismatch on {k}: "
+                                 f"{m.get(k)} != {base.get(k)}")
+    num_obs = base["num_obs"]
+    all_arrays = [s.concatenated() for s in stores]
+    if any(len(a.get("cx", ())) == 0 for a in all_arrays):
+        return {"n_common": 0}
+    joins = intersect_stores(all_arrays, num_obs)
+    n_common = len(joins[0])
+    if n_common == 0:
+        return {"n_common": 0}
+
+    make = static_workload if base.get("workload", "static") == "static" \
+        else dynamic_workload
+    out = {"n_common": int(n_common), "n_mc": n_mc, "modes": {}}
+    npz_payload = {}
+    for meta, arrays, idx in zip(metas, all_arrays, joins):
+        cfg = make(num_reduced=meta["num_reduced"], num_obs=meta["num_obs"],
+                   noise=meta["noise"], noise_level=meta["noise_level"],
+                   num_prime=meta["num_prime"], mode=meta["mode"])
+        ws = build_workspace(cfg)
+        validator = make_validator(cfg, ws, n_mc=n_mc)
+        stats = validator(jnp.asarray(arrays["cx"][idx]),
+                          jnp.asarray(arrays["cy"][idx]),
+                          jnp.asarray(arrays["init_state"][0]),
+                          jnp.asarray(arrays["x_obs_traj"][idx]),
+                          jnp.asarray(arrays["y_obs_traj"][idx]),
+                          jax.random.PRNGKey(seed))
+        coll = np.asarray(stats.coll_count)
+        lane = np.asarray(stats.lane_count)
+        mode = meta["mode"]
+        npz_payload[f"coll_{mode}"] = coll
+        npz_payload[f"coll_{mode}_lane"] = lane
+        out["modes"][mode] = {
+            "coll_pct_mean": float(np.mean(coll) / n_mc * 100.0),
+            "coll_pct_p50": float(np.percentile(coll, 50) / n_mc * 100.0),
+            "coll_pct_p95": float(np.percentile(coll, 95) / n_mc * 100.0),
+            "lane_mean": float(np.mean(lane)),
+        }
+
+    stats_dir = os.path.join(
+        out_root, f"{base['noise']}_noise", f"noise_{int(base['noise_level'] * 100)}",
+        f"ts_{base['num_prime']}")
+    os.makedirs(stats_dir, exist_ok=True)
+    stats_path = os.path.join(
+        stats_dir, f"{base['num_reduced']}_samples_{num_obs}_obs.npz")
+    np.savez(stats_path, **npz_payload)
+    out["stats_path"] = stats_path
+    with open(stats_path.replace(".npz", ".json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--data", type=str, nargs="+", required=True)
+    p.add_argument("--compare", action="store_true",
+                   help="intersect scenarios across the given stores and "
+                        "write paired stats (reference validation.py:284)")
     p.add_argument("--n_mc", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
-    out = validate_store(args.data, args.n_mc, args.seed, args.out)
-    print(json.dumps({k: v for k, v in out.items()
-                      if not isinstance(v, list)}, indent=1))
+    if args.compare:
+        out = validate_compare(args.data, args.n_mc, args.seed,
+                               args.out or "./stats")
+        print(json.dumps(out, indent=1))
+    else:
+        for root in args.data:
+            out = validate_store(root, args.n_mc, args.seed, args.out)
+            print(json.dumps({k: v for k, v in out.items()
+                              if not isinstance(v, list)}, indent=1))
 
 
 if __name__ == "__main__":

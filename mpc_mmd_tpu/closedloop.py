@@ -158,7 +158,9 @@ def run_episode(cfg: ProblemConfig, route_kind: str = "curved",
     mean = jnp.asarray([v_des] * 4 + [0.0] * 4)
     cov = jnp.asarray(np.diag([20.0] * 4 + [100.0] * 4), jnp.float32)
     nmu = cfg.frenet.num_mean_update
-    t_target = (nmu - 1) * cfg.horizon.dt
+    # max(nmu-1, 1): num_mean_update == 1 would otherwise make the
+    # velocity->acceleration conversion below divide by zero
+    t_target = max(nmu - 1, 1) * cfg.horizon.dt
 
     trace = []
     times = []

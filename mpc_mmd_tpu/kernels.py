@@ -69,6 +69,11 @@ def blockwise_mmd_vs_zero(beta: jnp.ndarray, cost: jnp.ndarray, sigma,
     axis, not sequence, is what grows at pod scale.  Peak memory O(block * N)
     instead of O(N^2).  Exact (no approximation).
     """
+    if cost.ndim != 1 or beta.ndim != 1:
+        raise ValueError(
+            "blockwise_mmd_vs_zero handles 1-D beta/cost only (the row-block"
+            f" scan has no batch axis); got beta {beta.shape}, cost "
+            f"{cost.shape}. Use mmd_vs_zero for batched inputs.")
     n = cost.shape[-1]
     if n % block:
         pad = block - n % block
@@ -89,7 +94,8 @@ def blockwise_mmd_vs_zero(beta: jnp.ndarray, cost: jnp.ndarray, sigma,
                          / sigma)
         return acc + bi @ (K_rows @ beta.reshape(-1)), None
 
-    quad, _ = jax.lax.scan(row_block, jnp.float32(0.0), jnp.arange(nb))
+    acc0 = jnp.zeros((), jnp.result_type(beta.dtype, cost.dtype))
+    quad, _ = jax.lax.scan(row_block, acc0, jnp.arange(nb))
     cross = jnp.sum(beta * jnp.exp(-jnp.abs(cost) / sigma), axis=-1)
     return ker_wt * (quad - 2.0 * cross)
 

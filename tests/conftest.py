@@ -34,3 +34,25 @@ def pytest_sessionstart(session):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def blocking_scenarios(tot_time, S, n_obs=2):
+    """Tie-free obstacle scenarios: obstacles sit directly in the ego's
+    near-field path (x in [8, 17] m, in-lane), so every candidate incurs a
+    distinct non-zero obstacle cost and argsort has no exact ties — enabling
+    tight (rtol<=1e-3) sharded-vs-single equivalence checks (VERDICT r1
+    item 7) instead of the 0.3 bands that tie-flipping used to force."""
+    import jax.numpy as jnp
+    from mpc_mmd_tpu.dynamics import constant_velocity_obstacles
+
+    xts, yts = [], []
+    for i in range(S):
+        x0 = jnp.asarray(np.resize([8.0 + 0.37 * i, 13.0 + 0.53 * i],
+                                   n_obs))
+        y0 = jnp.asarray(np.resize([1.75 - 0.11 * i, 0.6 + 0.13 * i],
+                                   n_obs))
+        z = jnp.zeros(n_obs)
+        xt, yt, _ = constant_velocity_obstacles(x0, y0, z, z, z, tot_time)
+        xts.append(xt)
+        yts.append(yt)
+    return jnp.stack(xts), jnp.stack(yts)

@@ -88,6 +88,51 @@ def test_beta_noise_stats_and_bounds():
     assert np.all(np.abs(np.asarray(s_n) - 0.4) <= 0.01 * 0.3 + 1e-6)
 
 
+def test_beta_zero_control_nan_hazard_and_validator_guard():
+    """Pin the Beta(0, 0) hazard: with steer == 0 the optimizer-side beta
+    draw is Beta(0, 0) = NaN, faithfully matching cem_helper.py:427-436;
+    the validator's +1e-5-guarded variant (validation.py:64-87) stays
+    finite on the same inputs."""
+    from mpc_mmd_tpu.config import static_workload
+    from mpc_mmd_tpu.validate import _mc_noise
+
+    key = jax.random.PRNGKey(4)
+    T, n = 10, 8
+    acc = 1.0 * jnp.ones(T)
+    steer = jnp.zeros(T)
+
+    cfgn = NoiseConfig(kind="beta", level=0.3, k_steer=0.01)
+    a_n, s_n = perturb_controls(key, acc, steer, n, cfgn)
+    assert np.all(np.isfinite(np.asarray(a_n)))      # acc != 0: fine
+    assert np.all(np.isnan(np.asarray(s_n)))          # Beta(0,0) -> NaN
+
+    cfg = static_workload(num_reduced=3, num_obs=2, num_prime=T,
+                          mode="cvar", noise="beta", noise_level=0.3)
+    a_v, s_v = _mc_noise(cfg, key, acc, steer, n)
+    assert np.all(np.isfinite(np.asarray(a_v)))
+    assert np.all(np.isfinite(np.asarray(s_v)))       # +1e-5 guard
+
+
+def test_validator_beta_moments():
+    """Validator beta draws follow the reference parameterization
+    (validation.py:75-82): pert mean = level*(2*a/(a+b) - 1), steer
+    additionally scaled by k_steer."""
+    from mpc_mmd_tpu.config import static_workload
+    from mpc_mmd_tpu.validate import _mc_noise
+
+    T, n = 20, 4000
+    acc = 1.5 * jnp.ones(T)
+    steer = 0.4 * jnp.ones(T)
+    cfg = static_workload(num_reduced=3, num_obs=2, num_prime=T,
+                          mode="cvar", noise="beta", noise_level=0.3)
+    a_v, s_v = _mc_noise(cfg, jax.random.PRNGKey(5), acc, steer, n)
+    pert_a = np.asarray(a_v) - 1.5
+    np.testing.assert_allclose(np.mean(pert_a), 0.3 * (4 / 7 - 1), atol=0.01)
+    assert np.all(np.abs(pert_a) <= 0.3 + 1e-6)
+    pert_s = np.asarray(s_v) - 0.4
+    assert np.all(np.abs(pert_s) <= cfg.noise.k_steer * 0.3 + 1e-6)
+
+
 def test_const_noise_shared_draw():
     """The reference applies the SAME const-noise samples to acc and steer
     (cem_helper.py:438-443); verify we reproduce that correlation."""

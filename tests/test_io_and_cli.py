@@ -44,6 +44,77 @@ def test_metric_logger(tmp_path):
     assert recs[1]["cost"] == pytest.approx(1.5)
 
 
+def _fake_arrays(rows):
+    """Build a minimal store-arrays dict whose scenario key is determined by
+    the integer rows: row r -> obstacles at (r, r+1) etc."""
+    n = len(rows)
+    r = np.asarray(rows, np.float64)[:, None]
+    return {
+        "init_state": np.tile(np.arange(6.0), (n, 1)),
+        "x_obs": np.hstack([r, r + 1.0]),
+        "y_obs": np.hstack([-r, r]),
+        "vx_obs": np.zeros((n, 2)),
+        "vy_obs": np.zeros((n, 2)),
+    }
+
+
+def test_intersect_stores_join():
+    """Config-intersection semantics of validation.py:284-325: common
+    scenarios only, aligned rows, first occurrence wins on duplicates."""
+    from mpc_mmd_tpu.cli.validate import intersect_stores, scenario_keys
+
+    a = _fake_arrays([0, 1, 2])
+    b = _fake_arrays([1, 3, 2, 1])          # scenario 1 duplicated
+    ia, ib = intersect_stores([a, b], num_obs=2)
+    assert len(ia) == len(ib) == 2           # common scenarios {1, 2}
+    ka = scenario_keys(a, 2)
+    kb = scenario_keys(b, 2)
+    for x, y in zip(ia, ib):                 # joined rows refer to the same scenario
+        assert ka[x] == kb[y]
+    assert 3 not in set(ib.tolist()) or kb[3] != kb[0]  # dup -> first index used
+    assert set(ib.tolist()) <= {0, 1, 2}
+
+
+def test_validate_compare_and_grid(tmp_path, monkeypatch):
+    """Two-mode sweep -> intersection validate -> reference-layout stats npz
+    -> grid box plot."""
+    import mpc_mmd_tpu.cli.sweep as sweep_cli
+    import mpc_mmd_tpu.cli.validate as validate_cli
+    import mpc_mmd_tpu.cli.report as report_cli
+    import mpc_mmd_tpu.config as config_mod
+
+    orig_static = config_mod.static_workload
+
+    def tiny_static(**kw):
+        cfg = orig_static(**kw)
+        return cfg.replace(cem=dataclasses.replace(cfg.cem, maxiter_cem=2))
+
+    monkeypatch.setattr(sweep_cli, "static_workload", tiny_static)
+    monkeypatch.setattr(validate_cli, "static_workload", tiny_static)
+
+    out = str(tmp_path / "data")
+    roots = []
+    for mode in ("cvar", "saa"):
+        store = sweep_cli.run_sweep(
+            workload="static", mode=mode, noise="gaussian", noise_level=0.1,
+            num_reduced=3, num_obs=2, num_prime=15, num_configs=4,
+            out_root=out, chunk=2)
+        roots.append(store.root)
+
+    stats_root = str(tmp_path / "stats")
+    res = validate_cli.validate_compare(roots, n_mc=50, out_root=stats_root)
+    assert res["n_common"] >= 1
+    assert set(res["modes"]) == {"cvar", "saa"}
+    with np.load(res["stats_path"]) as z:
+        assert z["coll_cvar"].shape == z["coll_saa"].shape == \
+            (res["n_common"],)
+        assert "coll_cvar_lane" in z
+    fig = report_cli.grid_boxplot(
+        stats_root, "gaussian", [0.1], [3], 2, 15, 50,
+        str(tmp_path / "grid.png"), modes=("cvar", "saa"))
+    assert os.path.exists(fig)
+
+
 def test_sweep_validate_report_end_to_end(tmp_path, monkeypatch):
     """Tiny full pipeline: sweep -> validate -> boxplot + trajectory figure."""
     import mpc_mmd_tpu.cli.sweep as sweep_cli

@@ -45,28 +45,32 @@ def test_sharded_sweep_runs_and_is_sharded(mesh):
 
 
 def test_sharded_matches_unsharded_quality(mesh):
-    """Sharded solves equal single-device solves (same program per shard)."""
+    """Sharded solves equal single-device solves on tie-free scenarios:
+    distinct non-zero obstacle costs per candidate pin the argsort order, so
+    the shard_map program must match single-device solves elementwise
+    (rtol 1e-3 on the full res trace and coefficients)."""
+    from conftest import blocking_scenarios
     from mpc_mmd_tpu.solver import Solver
     cfg = tiny_cfg()
     ws = build_workspace(cfg)
     sweep = sharded_sweep(cfg, ws, mesh)
     S = 8
-    batch = static_grid(cfg, S)
     init_state, mean, cov, v_des = ego_initial_state("static")
+    xts, yts = blocking_scenarios(ws.tot_time, S)
     spec = NamedSharding(mesh, P(SCENARIO_AXIS))
     seeds = jax.device_put(jnp.arange(S, dtype=jnp.int32), spec)
-    xt = jax.device_put(batch.x_traj, spec)
-    yt = jax.device_put(batch.y_traj, spec)
+    xt = jax.device_put(xts, spec)
+    yt = jax.device_put(yts, spec)
     out = sweep(seeds, init_state, mean, cov, xt, yt, v_des)
 
     solver = Solver(cfg, ws)
     for i in [0, 3, 7]:
-        r = solver.solve(i, init_state, mean, cov, batch.x_traj[i],
-                         batch.y_traj[i], v_des)
-        # sharded vs single-device accumulate differently -> argsort ties can
-        # pick different equally-good candidates; compare final solve quality
-        np.testing.assert_allclose(np.asarray(out.res[i, -1]),
-                                   np.asarray(r.res[-1]), rtol=0.3, atol=0.3)
+        r = solver.solve(i, init_state, mean, cov, xts[i], yts[i], v_des)
+        assert float(r.risk_obs) > 0.0, "scenario not tie-free"
+        np.testing.assert_allclose(np.asarray(out.res[i]),
+                                   np.asarray(r.res), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out.cx[i]),
+                                   np.asarray(r.cx), rtol=1e-3, atol=1e-3)
 
 
 def test_sweep_statistics_psum(mesh):

@@ -129,6 +129,22 @@ def test_cvar_single_iteration_control_parity():
     assert np.max(np.abs(s_r - s_m)) <= 1e-3
 
 
+def test_mmd_opt_single_iteration_control_parity():
+    """BASELINE.json acceptance for the flagship path: mmd_opt control
+    match <= 1e-3 at num_prime=50 after one CEM iteration (vs
+    compute_cem_mmd_opt, synthetic_static_obs/optimizer/cem.py:201-333)."""
+    prob, xt, yt = _ref(4, 50, maxiter_cem=1)
+    solver = _mine(4, 50, "mmd_opt", maxiter_cem=1)
+    out = prob.compute_cem_mmd_opt(42, INIT, MEAN, COV, xt, yt, 15.0)
+    cx_r, cy_r = out[0], out[1]
+    r = solver.solve(42, INIT, MEAN, COV, jnp.asarray(xt), jnp.asarray(yt), 15.0)
+    a_r, s_r = _controls(solver.ws, solver.cfg, jnp.asarray(cx_r),
+                         jnp.asarray(cy_r), 50)
+    a_m, s_m = _controls(solver.ws, solver.cfg, r.cx, r.cy, 50)
+    assert np.max(np.abs(a_r - a_m)) <= 1e-3
+    assert np.max(np.abs(s_r - s_m)) <= 1e-3
+
+
 def test_cvar_full_solve_quality_equivalence():
     prob, xt, yt = _ref(4, 50)
     solver = _mine(4, 50, "cvar")
@@ -141,6 +157,42 @@ def test_cvar_full_solve_quality_equivalence():
         my_risk.append(float(r.risk_obs))
     # equivalent solve quality: mean CVaR risk within 15%
     assert np.mean(my_risk) <= np.mean(ref_risk) * 1.15 + 1e-3
+
+
+def test_beta_noise_rollout_draw_parity():
+    """Draw-level beta-noise parity: my perturb_controls + rollout vs the
+    reference's fused compute_rollout_complete_baseline (cem_helper.py:
+    403-464) under the SAME key — beta branch, shared const-noise draw."""
+    prob = ref_cem_module.CEM(4, 2, 0.1, 20, "beta", 0.02, 0.01)
+    helper = prob.cem_helper
+    solver = _mine_noise(4, 20, "cvar", noise="beta",
+                         acc_const=0.02, steer_const=0.01)
+    cfg = solver.cfg
+
+    T = 20
+    acc = jnp.linspace(1.0, 2.0, T)
+    steer = jnp.linspace(0.05, 0.2, T)
+    init5 = jnp.asarray([0.0, 1.75, 5.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(7)
+
+    x_ref, y_ref = helper.compute_rollout_complete_baseline(
+        acc, steer, init5, key)
+    a_n, s_n = dyn.perturb_controls(key, acc, steer, 4, cfg.noise)
+    x_my, y_my = dyn.rollout(a_n, s_n, init5, cfg.horizon.dt,
+                             cfg.vehicle.wheel_base)
+    np.testing.assert_allclose(np.asarray(x_my), np.asarray(x_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_my), np.asarray(y_ref),
+                               atol=1e-5)
+
+
+def _mine_noise(num_reduced, num_prime, mode, noise="gaussian",
+                acc_const=0.0, steer_const=0.0):
+    cfg = static_workload(num_reduced=num_reduced, num_obs=2,
+                          num_prime=num_prime, mode=mode, noise=noise,
+                          acc_const_noise=acc_const,
+                          steer_const_noise=steer_const)
+    return Solver(cfg.replace(solve_strategy="exact"))
 
 
 def test_mmd_opt_single_iteration_risk_parity():
