@@ -96,14 +96,22 @@ def perturb_controls(key: jax.Array, acc: jnp.ndarray, steer: jnp.ndarray,
         acc_pert = noise.level * jnp.abs(acc) * eps_acc
         steer_pert = noise.level * jnp.abs(steer) * eps_steer
     else:  # beta
-        # NOTE: |u| == 0 yields Beta(0, 0) == NaN, faithfully matching the
-        # reference (cem_helper.py:427-436); callers on the beta path are
-        # expected to have non-zero controls (steer==0 is the hazard).
-        b_acc = jax.random.beta(key, noise.beta_a * jnp.abs(acc),
-                                noise.beta_b * jnp.abs(acc), (n_samples, T))
+        # Beta(a|u|, b|u|) with a 1e-8 floor on |u|.  The reference's
+        # unguarded form (cem_helper.py:427-436) only works by accident: its
+        # linalg.solve projection leaves ~1e-8 boundary-constraint dirt, so
+        # steer(0) is never EXACTLY zero and Beta(~1e-8, ~1e-8) degenerates
+        # to a Bernoulli(a/(a+b)) coin flip on {0, 1} (pert = +-level).  Our
+        # prefactored KKT elimination satisfies the boundary rows exactly,
+        # making steer(0) == 0.0 for every candidate — Beta(0, 0) == NaN
+        # would poison the whole solve.  The floor reproduces the
+        # reference's de facto t=0 behavior instead of its latent NaN.
+        a_g = jnp.abs(acc) + 1e-8
+        s_g = jnp.abs(steer) + 1e-8
+        b_acc = jax.random.beta(key, noise.beta_a * a_g,
+                                noise.beta_b * a_g, (n_samples, T))
         key, _ = jax.random.split(key)
-        b_steer = jax.random.beta(key, noise.beta_a * jnp.abs(steer),
-                                  noise.beta_b * jnp.abs(steer), (n_samples, T))
+        b_steer = jax.random.beta(key, noise.beta_a * s_g,
+                                  noise.beta_b * s_g, (n_samples, T))
         acc_pert = noise.level * (2.0 * b_acc - 1.0)
         steer_pert = noise.k_steer * noise.level * (2.0 * b_steer - 1.0)
 

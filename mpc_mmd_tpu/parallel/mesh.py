@@ -92,6 +92,45 @@ def sharded_sweep(cfg: ProblemConfig, ws: Optional[Workspace] = None,
     return jax.jit(mapped)
 
 
+def sharded_frenet_sweep(cfg: ProblemConfig, ws: Optional[Workspace] = None,
+                         mesh: Optional[Mesh] = None):
+    """Scenario-sharded on-road (Frenet) solve sweep.
+
+    Returns ``sweep(idxs, init_state_global, mean, cov, x_obs_traj,
+    y_obs_traj, v_des, frame)`` with idxs (S,) int32 and x_obs_traj
+    (S, num_obs, num) in Frenet coordinates; the local-path ``frame`` is
+    replicated (every scenario solves against the same path window, the
+    closed-loop fleet case).  Output: FrenetSolveResult with a leading
+    scenario axis sharded over the mesh.
+    """
+    from ..frenet import FrenetFrame
+    from ..solver_frenet import FrenetSolveResult, _solve_frenet
+
+    if ws is None:
+        ws = build_workspace(cfg)
+    if mesh is None:
+        mesh = make_mesh()
+
+    solve_local = jax.vmap(
+        partial(_solve_frenet, cfg, ws),
+        in_axes=(0, None, None, None, 0, 0, None, None))
+
+    def shard_body(idxs, init_state, mean, cov, x_obs, y_obs, v_des, frame):
+        return solve_local(idxs, init_state, mean, cov, x_obs, y_obs,
+                           v_des, frame)
+
+    spec_s = P(SCENARIO_AXIS)
+    spec_r = P()
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(spec_s, spec_r, spec_r, spec_r, spec_s, spec_s, spec_r,
+                  FrenetFrame(*([spec_r] * len(FrenetFrame._fields)))),
+        out_specs=FrenetSolveResult(
+            *([spec_s] * len(FrenetSolveResult._fields))),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 def sweep_statistics(cfg: ProblemConfig, mesh: Optional[Mesh] = None):
     """Jitted psum-reduced sweep statistics.
 
@@ -172,3 +211,36 @@ def dryrun(n_devices: int) -> None:
     r = s_lat.solve(0, init_state, mean, cov, xt[0], yt[0], 15.0)
     r.cx.block_until_ready()
     assert bool(jnp.all(jnp.isfinite(r.cx)))
+
+    # on-road (Frenet) solver: full sharded training/solve step as well
+    from ..config import onroad_workload
+    from ..frenet import path_parameters
+
+    fcfg = onroad_workload(num_reduced=2, num_obs=1, num_prime=10,
+                           mode="mmd_opt")
+    fcfg = fcfg.replace(cem=dataclasses.replace(fcfg.cem, maxiter_cem=2),
+                        beta_cem=dataclasses.replace(fcfg.beta_cem,
+                                                     maxiter=2))
+    fws = build_workspace(fcfg)
+    fsweep = sharded_frenet_sweep(fcfg, fws, mesh)
+
+    num_path = fcfg.frenet.num_path
+    frame = path_parameters(
+        jnp.linspace(0.0, fcfg.frenet.lookahead, num_path),
+        jnp.zeros(num_path))
+    tot = jnp.asarray(np.linspace(0, fcfg.horizon.t_fin, fcfg.horizon.num),
+                      jnp.float32)
+    s_o = jnp.full((S, 1), 30.0)
+    zeros_f = jnp.zeros((S, 1))
+    xt_o, yt_o, _ = jax.vmap(
+        lambda a, b, c, d, e: constant_velocity_obstacles(a, b, c, d, e, tot)
+    )(s_o, zeros_f, zeros_f, zeros_f, zeros_f)
+    init_global = jnp.asarray([0.0, 0.0, 5.0, 0.0, 0.0, 0.0], jnp.float32)
+
+    sh = NamedSharding(mesh, P(SCENARIO_AXIS))
+    fout = fsweep(jax.device_put(seeds, sh), init_global, mean, cov,
+                  jax.device_put(xt_o, sh), jax.device_put(yt_o, sh),
+                  jnp.float32(8.0), frame)
+    fout.cx.block_until_ready()
+    assert fout.cx.shape == (S, fcfg.horizon.nvar)
+    assert bool(jnp.all(jnp.isfinite(fout.cx))), "non-finite frenet output"

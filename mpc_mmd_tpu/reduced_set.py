@@ -235,6 +235,9 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
             # only the n_el best are consumed; full argsort lowers to a TPU
             # sort network, n_el argmin-and-mask rounds are pure VPU ops.
             # Tie-breaking matches stable argsort (first index wins).
+            # NaN costs -> +inf so argmax rounds skip them like argsort's
+            # NaN-last ordering does on the exact path.
+            cost = jnp.where(jnp.isnan(cost), jnp.inf, cost)
             idx_el = _topk_indices(-cost, n_el)              # (n_el,)
             elites = samples[idx_el]
         else:
@@ -363,6 +366,9 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
 
         key, _sub = jax.random.split(key)
         upd_key, _sub2 = jax.random.split(key)
+        # NaN costs -> +inf: keeps poisoned samples out of the elite set
+        # (argsort-NaN-last semantics of the exact path)
+        cost = jnp.where(jnp.isnan(cost), jnp.inf, cost)
         idx_el = _topk(-cost, n_el)                          # (C, n_el)
         elites = jnp.take_along_axis(samples, idx_el[..., None], axis=1)
         mean = jnp.mean(elites, axis=1)

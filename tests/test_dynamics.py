@@ -88,11 +88,14 @@ def test_beta_noise_stats_and_bounds():
     assert np.all(np.abs(np.asarray(s_n) - 0.4) <= 0.01 * 0.3 + 1e-6)
 
 
-def test_beta_zero_control_nan_hazard_and_validator_guard():
-    """Pin the Beta(0, 0) hazard: with steer == 0 the optimizer-side beta
-    draw is Beta(0, 0) = NaN, faithfully matching cem_helper.py:427-436;
-    the validator's +1e-5-guarded variant (validation.py:64-87) stays
-    finite on the same inputs."""
+def test_beta_zero_control_guard_and_validator_guard():
+    """Pin the Beta(0, 0) hazard handling.  The reference's unguarded
+    Beta(a|u|, b|u|) (cem_helper.py:427-436) never sees |u| exactly 0 only
+    because its projection leaves float dirt in the boundary rows; our
+    prefactored projection is exact, so perturb_controls floors |u| at 1e-8
+    — at steer == 0 the draw degenerates to the same Bernoulli coin flip on
+    {-level*k, +level*k} the reference de facto produces.  The validator
+    keeps the reference's own +1e-5 guard (validation.py:64-87)."""
     from mpc_mmd_tpu.config import static_workload
     from mpc_mmd_tpu.validate import _mc_noise
 
@@ -104,7 +107,10 @@ def test_beta_zero_control_nan_hazard_and_validator_guard():
     cfgn = NoiseConfig(kind="beta", level=0.3, k_steer=0.01)
     a_n, s_n = perturb_controls(key, acc, steer, n, cfgn)
     assert np.all(np.isfinite(np.asarray(a_n)))      # acc != 0: fine
-    assert np.all(np.isnan(np.asarray(s_n)))          # Beta(0,0) -> NaN
+    s = np.asarray(s_n)
+    assert np.all(np.isfinite(s))                     # 1e-8 floor: no NaN
+    # Beta(~0, ~0) -> Bernoulli on {0, 1}: pert = +-k_steer*level exactly
+    assert np.all(np.isclose(np.abs(s), 0.01 * 0.3, atol=1e-6))
 
     cfg = static_workload(num_reduced=3, num_obs=2, num_prime=T,
                           mode="cvar", noise="beta", noise_level=0.3)
