@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--max_steps", type=int, default=400)
     p.add_argument("--goal_arc", type=float, default=300.0)
     p.add_argument("--plot", type=str, default=None)
+    p.add_argument("--actuation", default="direct", choices=["direct", "pid"],
+                   help="pid = reference throttle/brake PID mapping "
+                        "(carla/main_carla.py:25-71)")
     args = p.parse_args(argv)
 
     cfg = onroad_workload(num_reduced=args.num_reduced, num_obs=args.num_obs,
@@ -48,7 +51,7 @@ def main(argv=None):
     for ep in range(args.episodes):
         r = run_episode(cfg, route_kind=args.route, v_des=args.v_des,
                         max_steps=args.max_steps, goal_arc=args.goal_arc,
-                        seed=ep, solver=solver)
+                        seed=ep, solver=solver, actuation=args.actuation)
         results.append(r)
         times = r.solve_times[1:] or r.solve_times
         print(json.dumps({

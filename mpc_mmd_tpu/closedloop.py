@@ -117,6 +117,63 @@ class SyntheticPlant:
         return float(np.min(m))
 
 
+class PIDActuator:
+    """Throttle/brake actuation mapping (carla/main_carla.py:25-71,
+    carla_simulation.py:89 PID(0.05, 0, 0.05)).
+
+    The reference never feeds the MPC acceleration to the vehicle directly:
+    a PID on the (smoothed) measured acceleration drives a pedal integrator
+    ``throttle1``; the pedal maps to throttle/brake around the
+    rolling+aerodynamic resistance borders, and the vehicle realizes the
+    pedal's acceleration.  This class reproduces that actuation lag for the
+    SyntheticPlant (flat road: pitch term = 0); ``step`` returns the
+    realized acceleration command for the plant.
+    """
+
+    def __init__(self, dt: float, mass: float = 1845.0, kp: float = 0.05,
+                 ki: float = 0.0, kd: float = 0.05):
+        self.dt, self.mass = dt, mass
+        self.kp, self.ki, self.kd = kp, ki, kd
+        self.throttle1 = 0.0
+        self.prev_vel = 0.0
+        self.prev_acc = 0.0
+        self._integral = 0.0
+        self._last_input = 0.0
+
+    def _pid(self, setpoint: float, inp: float) -> float:
+        err = setpoint - inp
+        self._integral += self.ki * err * self.dt
+        # derivative on measurement (simple-pid semantics)
+        d_input = (inp - self._last_input) / self.dt
+        self._last_input = inp
+        return self.kp * err + self._integral - self.kd * d_input
+
+    def step(self, target_acc: float, vel: float) -> float:
+        # resistance borders (main_carla.py:37-40; flat road)
+        lower = -(0.01 * 9.81 * self.mass
+                  + 0.5 * 0.3 * 2.37 * 1.184 * vel ** 2) / self.mass
+        upper = lower - 500.0 / self.mass
+
+        acc = (vel - self.prev_vel) / self.dt
+        if acc > 10.0:                       # spike guard (main_carla.py:45-49)
+            control = self._pid(target_acc, 0.0)
+        else:
+            self.prev_acc = (self.prev_acc * 4.0 + acc) / 5.0
+            control = self._pid(target_acc, self.prev_acc)
+        self.throttle1 = float(np.clip(self.throttle1 + control, -4.0, 4.0))
+
+        if self.throttle1 > lower:
+            throttle = min((self.throttle1 - lower) / 4.0, 1.0)
+            realized = lower + 4.0 * throttle
+        elif self.throttle1 > upper:
+            realized = lower                  # coasting: resistance only
+        else:
+            brake = min((upper - self.throttle1) / 4.0, 1.0)
+            realized = upper - 4.0 * brake
+        self.prev_vel = vel
+        return realized
+
+
 def perceive_obstacles(cfg: ProblemConfig, plant: SyntheticPlant,
                        ego_xy, ego_psi) -> np.ndarray:
     """Front-half-plane filter + sort by distance + pad to num_obs.
@@ -146,8 +203,14 @@ def run_episode(cfg: ProblemConfig, route_kind: str = "curved",
                 v_des: float = 15.0, max_steps: int = 400,
                 goal_arc: float = 300.0, seed: int = 0,
                 noise_on_control: bool = True,
-                solver: Optional[FrenetSolver] = None) -> EpisodeResult:
-    """Run one closed-loop episode; returns collision/progress metrics."""
+                solver: Optional[FrenetSolver] = None,
+                actuation: str = "direct") -> EpisodeResult:
+    """Run one closed-loop episode; returns collision/progress metrics.
+
+    actuation: "direct" feeds the MPC acceleration straight to the plant;
+    "pid" routes it through the reference's PID + throttle/brake pedal
+    mapping (PIDActuator), reproducing the CARLA actuation lag.
+    """
     import time as _time
 
     solver = solver or FrenetSolver(cfg)
@@ -161,6 +224,12 @@ def run_episode(cfg: ProblemConfig, route_kind: str = "curved",
     # max(nmu-1, 1): num_mean_update == 1 would otherwise make the
     # velocity->acceleration conversion below divide by zero
     t_target = max(nmu - 1, 1) * cfg.horizon.dt
+    if actuation not in ("direct", "pid"):
+        raise ValueError(f"actuation must be 'direct' or 'pid', got "
+                         f"{actuation!r}")
+    actuator = PIDActuator(cfg.horizon.dt) if actuation == "pid" else None
+    if actuator is not None:
+        actuator.prev_vel = float(plant.state[2])
 
     trace = []
     times = []
@@ -235,6 +304,8 @@ def run_episode(cfg: ProblemConfig, route_kind: str = "curved",
             steer_ctrl = steer_ctrl + cfg.noise.steer_const * float(
                 np.random.normal(0, 1))
 
+        if actuator is not None:
+            a_ctrl = actuator.step(a_ctrl, v_e)
         plant.step(a_ctrl, steer_ctrl)
         trace.append([*plant.state[:4], steer_ctrl])
 

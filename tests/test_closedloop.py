@@ -46,6 +46,34 @@ def test_mmd_opt_episode_step():
     assert np.all(np.isfinite(r.ego_trace))
 
 
+def test_pid_actuation_lags_direct():
+    """PID throttle/brake actuation (carla/main_carla.py:25-71): the episode
+    still progresses, but the pedal integrator + PID make the speed build-up
+    lag the direct-acceleration plant."""
+    from mpc_mmd_tpu.closedloop import PIDActuator
+
+    cfg = tiny("cvar")
+    r_pid = run_episode(cfg, route_kind="straight", obstacles_s_l=(),
+                        v_des=10.0, max_steps=12, goal_arc=100.0, seed=2,
+                        noise_on_control=False, actuation="pid")
+    r_dir = run_episode(cfg, route_kind="straight", obstacles_s_l=(),
+                        v_des=10.0, max_steps=12, goal_arc=100.0, seed=2,
+                        noise_on_control=False, actuation="direct")
+    assert not r_pid.collided
+    assert r_pid.ego_trace[-1][0] > 5.0          # still makes progress
+    # actuation lag: PID speed at the end of the window trails direct
+    assert r_pid.ego_trace[-1][2] < r_dir.ego_trace[-1][2]
+
+    # unit-level: pedal saturates and realized accel tracks toward target
+    act = PIDActuator(dt=0.1)
+    act.prev_vel = 5.0
+    a0 = act.step(3.0, 5.0)
+    for _ in range(50):
+        a = act.step(3.0, 5.0)                   # constant speed feedback
+    assert a > a0                                 # integrator winds toward target
+    assert a <= 4.0 + 1e-6                        # pedal clip bound
+
+
 def test_perception_filter_and_padding():
     cfg = tiny("cvar")
     plant = SyntheticPlant(cfg, make_route("straight"),
