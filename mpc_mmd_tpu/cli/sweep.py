@@ -23,8 +23,14 @@ import numpy as np
 from ..config import dynamic_workload, static_workload
 from ..scenarios import dynamic_cutin, ego_initial_state, static_grid
 from ..solver import Solver
+from ..utils.debug import hosts_alive
 from ..utils.io_store import ResultStore
 from ..utils.observability import MetricLogger, phase_timer
+
+
+class HostFailure(RuntimeError):
+    """A peer host failed the heartbeat; completed chunks are already
+    persisted, so re-running the sweep resumes from the failure point."""
 
 
 def accept_threshold(mode: str, ker_wt: float) -> float:
@@ -38,7 +44,9 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
               num_reduced: int, num_obs: int, num_prime: int,
               num_configs: int, out_root: str, chunk: int = 20,
               acc_const_noise: float = 0.0, steer_const_noise: float = 0.0,
-              logger: MetricLogger | None = None) -> ResultStore:
+              logger: MetricLogger | None = None,
+              heartbeat_every: int = 0,
+              heartbeat_timeout_s: float = 30.0) -> ResultStore:
     logger = logger or MetricLogger()
     make = static_workload if workload == "static" else dynamic_workload
     cfg = make(num_reduced=num_reduced, num_obs=num_obs, noise=noise,
@@ -71,6 +79,17 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
     for cid in range(n_chunks):
         if store.is_done(cid):
             continue
+        if heartbeat_every and cid % heartbeat_every == 0:
+            # multi-host failure detection (SURVEY §5): a dead peer would
+            # hang the next collective forever; probe with a watchdog and
+            # abort cleanly instead — completed chunks are already on disk,
+            # so a restart resumes exactly here.
+            if not hosts_alive(heartbeat_timeout_s):
+                logger.log("host_failure", chunk=cid)
+                raise HostFailure(
+                    f"heartbeat failed before chunk {cid}; "
+                    f"{len(store.done_chunks())} chunks persisted — rerun to "
+                    "resume")
         lo, hi = cid * chunk, min((cid + 1) * chunk, num_configs)
         sl = slice(lo, hi)
         with phase_timer(logger, "solve_chunk", chunk=cid, size=hi - lo):
@@ -113,6 +132,10 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=20)
     p.add_argument("--out", type=str, default="./data")
     p.add_argument("--metrics", type=str, default=None)
+    p.add_argument("--heartbeat_every", type=int, default=0,
+                   help="multi-host: probe hosts_alive every N chunks; "
+                        "abort cleanly (resumable) on failure")
+    p.add_argument("--heartbeat_timeout", type=float, default=30.0)
     args = p.parse_args(argv)
 
     logger = MetricLogger(args.metrics)
@@ -126,7 +149,8 @@ def main(argv=None):
                                 args.workload, mode, noise, lvl, n_red, n_obs,
                                 np_, args.num_configs, args.out, args.chunk,
                                 args.acc_const_noise, args.steer_const_noise,
-                                logger)
+                                logger, args.heartbeat_every,
+                                args.heartbeat_timeout)
                             n = sum(len(a["cx"]) for _, a in store.iter_chunks())
                             print(f"workload={args.workload} cost={mode} "
                                   f"reduced={n_red} obs={n_obs} ts={np_} "

@@ -348,8 +348,27 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
     inv_sqrt = 1.0 / jnp.sqrt(n_el - 1.0)
     sqrt_jit = jnp.sqrt(b.cov_jitter)
 
-    def iteration(carry, _):
-        key, samples = carry
+    # Hoist the CEM-update noise out of the scan: replicate the in-scan key
+    # chain exactly (key <- split(key)[0] once per iteration; u/z from the
+    # update key's split), generate every iteration's u/z in two batched
+    # normal calls, and feed them to the scan as xs.  Removes 4 threefry
+    # dispatches per iteration; values are bit-identical to the in-scan
+    # draws (vmap over keys == stacked per-key calls).
+    kc = key0
+    ku_list, kz_list = [], []
+    for _ in range(b.maxiter):
+        kc, _ = jax.random.split(kc)
+        upd_key, _ = jax.random.split(kc)
+        ku, kz = jax.random.split(upd_key)
+        ku_list.append(ku)
+        kz_list.append(kz)
+    u_all = jax.vmap(
+        lambda kk: jax.random.normal(kk, (S - n_el, n_el)))(jnp.stack(ku_list))
+    z_all = jax.vmap(
+        lambda kk: jax.random.normal(kk, (S - n_el, M + 1)))(jnp.stack(kz_list))
+
+    def iteration(samples, uz):
+        u, z = uz
         if selection == "fused":
             row_sum, K_red, idx_top = topk_kernel_matrices(
                 samples, D, k, interpret=interpret)
@@ -364,17 +383,16 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
             row_sum = jnp.sum(K_mixed, axis=-1)
         beta_opt, cost = _beta_qp(K_red, row_sum, M, cfg)    # (C,S,k), (C,S)
 
-        key, _sub = jax.random.split(key)
-        upd_key, _sub2 = jax.random.split(key)
         # NaN costs -> +inf: keeps poisoned samples out of the elite set
         # (argsort-NaN-last semantics of the exact path)
         cost = jnp.where(jnp.isnan(cost), jnp.inf, cost)
         idx_el = _topk(-cost, n_el)                          # (C, n_el)
-        elites = jnp.take_along_axis(samples, idx_el[..., None], axis=1)
+        # one-hot MXU gather: take_along_axis along the sample axis
+        # scalarizes on TPU (same failure mode as the selection gathers)
+        onehot_el = (idx_el[..., None]
+                     == jnp.arange(S)).astype(samples.dtype)  # (C, n_el, S)
+        elites = jnp.einsum("ces,csm->cem", onehot_el, samples)
         mean = jnp.mean(elites, axis=1)
-        ku, kz = jax.random.split(upd_key)
-        u = jax.random.normal(ku, (S - n_el, n_el))
-        z = jax.random.normal(kz, (S - n_el, M + 1))
         fresh = (mean[:, None]
                  + jnp.einsum("se,cem->csm", u, elites - mean[:, None])
                  * inv_sqrt + sqrt_jit * z[None])
@@ -385,14 +403,18 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         new_samples = jnp.concatenate((elites, fresh), axis=1)
 
         i_min = jnp.argmin(cost, axis=1)                     # (C,)
-        take = lambda a: jnp.take_along_axis(
-            a, i_min.reshape((C,) + (1,) * (a.ndim - 1)), axis=1).squeeze(1)
-        best = (take(beta_opt), take(new_samples)[..., -1], take(idx_top),
+        # one-hot contractions for the winner row of each candidate (the
+        # dynamic per-candidate take_along_axis scalarizes on TPU)
+        oh_min = (i_min[:, None] == jnp.arange(S)).astype(samples.dtype)
+        best = (jnp.einsum("cs,csk->ck", oh_min, beta_opt),
+                jnp.einsum("cs,cs->c", oh_min, new_samples[..., -1]),
+                jnp.einsum("cs,csk->ck", oh_min,
+                           idx_top.astype(samples.dtype)).astype(idx_top.dtype),
                 jnp.min(cost, axis=1))
-        return (key, new_samples), best
+        return new_samples, best
 
-    (_, _), (betas, sigmas, idxs, mins) = lax.scan(
-        iteration, (key0, samples0), None, length=b.maxiter)
+    _, (betas, sigmas, idxs, mins) = lax.scan(
+        iteration, samples0, (u_all, z_all))
 
     idx_best = idxs[-1]                                      # (C, k)
     x_red = jnp.take_along_axis(x_roll, idx_best[:, :, None], axis=1)

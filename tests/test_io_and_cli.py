@@ -44,6 +44,37 @@ def test_metric_logger(tmp_path):
     assert recs[1]["cost"] == pytest.approx(1.5)
 
 
+def test_sweep_heartbeat_abort_is_resumable(tmp_path, monkeypatch):
+    """Failure detection in the sweep loop (SURVEY §5): a failed heartbeat
+    aborts cleanly with completed chunks persisted; a healthy rerun
+    resumes and finishes."""
+    import dataclasses as _dc
+    import mpc_mmd_tpu.cli.sweep as sweep_cli
+    import mpc_mmd_tpu.config as config_mod
+
+    orig_static = config_mod.static_workload
+
+    def tiny_static(**kw):
+        cfg = orig_static(**kw)
+        return cfg.replace(cem=_dc.replace(cfg.cem, maxiter_cem=2))
+
+    monkeypatch.setattr(sweep_cli, "static_workload", tiny_static)
+
+    # heartbeat dead from the start -> immediate clean abort, nothing solved
+    monkeypatch.setattr(sweep_cli, "hosts_alive", lambda t: False)
+    out = str(tmp_path / "data")
+    kw = dict(workload="static", mode="cvar", noise="gaussian",
+              noise_level=0.1, num_reduced=3, num_obs=2, num_prime=15,
+              num_configs=4, out_root=out, chunk=2)
+    with pytest.raises(sweep_cli.HostFailure):
+        sweep_cli.run_sweep(**kw, heartbeat_every=1)
+
+    # hosts healthy again -> the same sweep resumes and completes
+    monkeypatch.setattr(sweep_cli, "hosts_alive", lambda t: True)
+    store = sweep_cli.run_sweep(**kw, heartbeat_every=1)
+    assert store.done_chunks() == [0, 1]
+
+
 def _fake_arrays(rows):
     """Build a minimal store-arrays dict whose scenario key is determined by
     the integer rows: row r -> obstacles at (r, r+1) etc."""
