@@ -95,8 +95,19 @@ def grid_boxplot(stats_root: str, noise: str, noise_levels, num_reduced_sets,
     return out_path
 
 
+def pick_showcase_solves(stats_npz: str, mode: str, other: str,
+                         other_min: int = 80, self_max: int = 0):
+    """Reference's cherry-pick rule (plot_traj_video.py:285): scenarios
+    where ``mode`` has at most ``self_max`` colliding MC rollouts while
+    ``other`` has at least ``other_min``.  Returns ``mode``'s ResultStore
+    row indices (via the idx_{mode} join map written by validate_compare)."""
+    with np.load(stats_npz) as z:
+        sel = (z[f"coll_{mode}"] <= self_max) & (z[f"coll_{other}"] >= other_min)
+        return np.asarray(z[f"idx_{mode}"])[sel]
+
+
 def trajectories(data_root: str, out_path: str, n_mc: int = 200,
-                 n_solves: int = 4, seed: int = 0):
+                 n_solves: int = 4, seed: int = 0, solve_indices=None):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -118,13 +129,18 @@ def trajectories(data_root: str, out_path: str, n_mc: int = 200,
                num_prime=meta["num_prime"], mode=meta["mode"])
     ws = build_workspace(cfg)
     arrays = store.concatenated()
-    n = min(n_solves, len(arrays["cx"]))
+    if solve_indices is None:
+        solve_indices = list(range(len(arrays["cx"])))
+    solve_indices = list(solve_indices)[:n_solves]
+    n = len(solve_indices)
+    if n == 0:
+        raise ValueError("no solves selected (cherry-pick matched nothing?)")
     T = cfg.horizon.num_prime
 
     fig, axes = plt.subplots(n, 1, figsize=(12, 2.6 * n), squeeze=False)
     key = jax.random.PRNGKey(seed)
-    for i in range(n):
-        ax = axes[i][0]
+    for row, i in enumerate(solve_indices):
+        ax = axes[row][0]
         cx = jnp.asarray(arrays["cx"][i])
         cy = jnp.asarray(arrays["cy"][i])
         init = arrays["init_state"][i]
@@ -252,6 +268,13 @@ def main(argv=None):
     t.add_argument("--out", type=str, required=True)
     t.add_argument("--n_mc", type=int, default=200)
     t.add_argument("--n_solves", type=int, default=4)
+    t.add_argument("--pick_stats", type=str, default=None,
+                   help="paired stats npz from validate --compare: render "
+                        "only scenarios where this mode is clean and the "
+                        "other collides (plot_traj_video.py:285)")
+    t.add_argument("--pick_self", type=str, default="mmd_opt")
+    t.add_argument("--pick_other", type=str, default="cvar")
+    t.add_argument("--pick_other_min", type=int, default=80)
     a = sub.add_parser("animate")
     a.add_argument("--data", type=str, required=True)
     a.add_argument("--out", type=str, required=True)
@@ -266,7 +289,13 @@ def main(argv=None):
                            args.num_prime, args.n_mc, args.out,
                            modes=tuple(args.modes)))
     elif args.cmd == "trajectories":
-        print(trajectories(args.data, args.out, args.n_mc, args.n_solves))
+        picks = None
+        if args.pick_stats:
+            picks = pick_showcase_solves(args.pick_stats, args.pick_self,
+                                         args.pick_other,
+                                         args.pick_other_min)
+        print(trajectories(args.data, args.out, args.n_mc, args.n_solves,
+                           solve_indices=picks))
     else:
         print(animate(args.data, args.out, args.n_mc, args.solve_idx))
 

@@ -164,6 +164,11 @@ def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
         mode = meta["mode"]
         npz_payload[f"coll_{mode}"] = coll
         npz_payload[f"coll_{mode}_lane"] = lane
+        # store-row index of each joined scenario: lets reporting map a
+        # paired-stats row back to the solve in the mode's ResultStore
+        # (e.g. the reference's cherry-picked trajectory videos,
+        # plot_traj_video.py:285)
+        npz_payload[f"idx_{mode}"] = idx
         out["modes"][mode] = {
             "coll_pct_mean": float(np.mean(coll) / n_mc * 100.0),
             "coll_pct_p50": float(np.percentile(coll, 50) / n_mc * 100.0),

@@ -46,6 +46,30 @@ def _kernel(x_ref, idx_ref, *, k: int, M: int):
     idx_ref[...] = jnp.stack(cols, axis=1)       # (B, k) f32
 
 
+def _kernel_onehot(x_ref, idx_ref, oh_ref, *, k: int, M: int,
+                   absolute: bool):
+    """Same rounds, but each round's winner mask is ALSO written out as the
+    f32 one-hot row — its consumers (one-hot MXU gathers) otherwise pay a
+    separate (rows, k, M) iota-compare pass over HBM (~47 us/iter profiled
+    at the production shape).  With ``absolute`` the ranking key |x| is
+    computed in VMEM, saving the caller another full-tensor abs pass."""
+    x = x_ref[:, :M]                             # (B, M) (input may be wider)
+    if absolute:
+        x = jnp.abs(x)
+    B = x.shape[0]
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1).astype(jnp.float32)
+    cols = []
+    for j in range(k):
+        m = jnp.max(x, axis=1, keepdims=True)
+        first = jnp.min(jnp.where(x >= m, iota_f, jnp.float32(M)),
+                        axis=1, keepdims=True)
+        cols.append(first[:, 0])
+        sel = jnp.abs(iota_f - first) < 0.5      # (B, M) winner mask
+        oh_ref[:, j, :] = sel.astype(jnp.float32)
+        x = jnp.where(sel, -jnp.inf, x)
+    idx_ref[...] = jnp.stack(cols, axis=1)       # (B, k) f32
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def topk_indices_pallas(x: jnp.ndarray, k: int,
                         interpret: bool = False) -> jnp.ndarray:
@@ -75,3 +99,43 @@ def topk_indices_pallas(x: jnp.ndarray, k: int,
         interpret=interpret,
     )(xf)
     return idx[:rows_in].astype(jnp.int32).reshape(shape[:-1] + (k,))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "interpret", "absolute", "slice_to"))
+def topk_onehot_pallas(x: jnp.ndarray, k: int, interpret: bool = False,
+                       absolute: bool = False, slice_to: int | None = None):
+    """Top-k indices AND their f32 one-hot rows along the last axis.
+
+    x: (..., W) float32; ranking runs over the first ``slice_to`` lanes
+    (default all W) of ``|x|`` if ``absolute`` else ``x``.  Returns
+    (idx (..., k) int32, onehot (..., k, M) float32) with
+    onehot[..., j, :] the indicator of idx[..., j].  Ties: first index wins
+    (lax.top_k semantics).
+    """
+    shape = x.shape
+    W = shape[-1]
+    M = W if slice_to is None else slice_to
+    rows_in = int(np.prod(shape[:-1]))
+    xf = x.reshape(rows_in, W)
+    B = min(_ROW_BLOCK, max(8, rows_in))
+    rows = int(np.ceil(rows_in / B) * B)
+    if rows != rows_in:
+        xf = jnp.concatenate(
+            (xf, jnp.zeros((rows - rows_in, W), xf.dtype)), axis=0)
+
+    idx, oh = pl.pallas_call(
+        functools.partial(_kernel_onehot, k=k, M=M, absolute=absolute),
+        grid=(rows // B,),
+        in_specs=[pl.BlockSpec((B, W), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((B, k), lambda r: (r, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((B, k, M), lambda r: (r, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((rows, k), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, k, M), jnp.float32)),
+        interpret=interpret,
+    )(xf)
+    return (idx[:rows_in].astype(jnp.int32).reshape(shape[:-1] + (k,)),
+            oh[:rows_in].reshape(shape[:-1] + (k, M)))

@@ -123,6 +123,32 @@ def _topk_indices(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(idxs, axis=-1)
 
 
+def _topk_with_onehot(x: jnp.ndarray, k: int, absolute: bool = False,
+                      slice_to: int | None = None):
+    """(indices, f32 one-hot) of the k largest entries of
+    ``|x[..., :slice_to]|`` (absolute=True) or ``x[..., :slice_to]``.
+
+    NOT in the production path: on v5e-lite routing the one-hot through the
+    Pallas kernel measured 5.4 -> 3.5 solves/s (the serial-grid kernel
+    writes the (rows, k, M) tensor slower than XLA's fused iota-compare and
+    its output layout blocks fusion into the selection einsum).  Kept,
+    tested, for re-evaluation on multi-core chips.
+    """
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from .ops.topk_pallas import topk_onehot_pallas
+        return topk_onehot_pallas(x, k, absolute=absolute, slice_to=slice_to)
+    y = x if slice_to is None else x[..., :slice_to]
+    if absolute:
+        y = jnp.abs(y)
+    idx = _topk_indices(y, k)
+    onehot = (idx[..., None] == jnp.arange(y.shape[-1])).astype(y.dtype)
+    return idx, onehot
+
+
 def _topk(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Backend-dispatched top-k indices (descending; ties -> first index).
 
@@ -347,6 +373,12 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
 
     inv_sqrt = 1.0 / jnp.sqrt(n_el - 1.0)
     sqrt_jit = jnp.sqrt(b.cov_jitter)
+    # per-lane floor implementing the sigma clip as ONE fused elementwise
+    # max: -inf on the beta lanes, sigma_clip on the bandwidth lane.  The
+    # .at[..., -1].set(clip(...)) form lowers to a dynamic-update-slice
+    # that re-materializes the whole fresh tensor every iteration
+    # (profiled 22 ms/solve on v5e-lite).
+    lane_floor = jnp.full((M + 1,), -jnp.inf).at[-1].set(b.sigma_clip)
 
     # Hoist the CEM-update noise out of the scan: replicate the in-scan key
     # chain exactly (key <- split(key)[0] once per iteration; u/z from the
@@ -374,6 +406,11 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
                 samples, D, k, interpret=interpret)
         else:
             sigma = samples[..., -1]                         # (C, S), clipped
+            # NOTE: keep the one-hot as an XLA iota-compare — emitting it
+            # from the Pallas top-k kernel (topk_onehot_pallas) measured
+            # 5.4 -> 3.5 solves/s: the serial-grid kernel writes the 40 MB
+            # tensor slower than XLA's fused compare, and the kernel output
+            # layout blocks fusion into the selection einsum.
             idx_top = _topk(jnp.abs(samples[..., :M]), k)    # (C, S, k)
             onehot = (idx_top[..., None]
                       == jnp.arange(M)).astype(D.dtype)      # (C, S, k, M)
@@ -386,9 +423,9 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         # NaN costs -> +inf: keeps poisoned samples out of the elite set
         # (argsort-NaN-last semantics of the exact path)
         cost = jnp.where(jnp.isnan(cost), jnp.inf, cost)
-        idx_el = _topk(-cost, n_el)                          # (C, n_el)
         # one-hot MXU gather: take_along_axis along the sample axis
         # scalarizes on TPU (same failure mode as the selection gathers)
+        idx_el = _topk(-cost, n_el)                          # (C, n_el)
         onehot_el = (idx_el[..., None]
                      == jnp.arange(S)).astype(samples.dtype)  # (C, n_el, S)
         elites = jnp.einsum("ces,csm->cem", onehot_el, samples)
@@ -399,7 +436,7 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         # elites' sigma lane is already clipped (inductively: samples0 and
         # every written batch are), so clipping just the fresh rows before
         # the concat is exact and saves one full-tensor pass.
-        fresh = fresh.at[:, :, -1].set(jnp.clip(fresh[:, :, -1], b.sigma_clip))
+        fresh = jnp.maximum(fresh, lane_floor)
         new_samples = jnp.concatenate((elites, fresh), axis=1)
 
         i_min = jnp.argmin(cost, axis=1)                     # (C,)

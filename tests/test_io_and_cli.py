@@ -145,6 +145,16 @@ def test_validate_compare_and_grid(tmp_path, monkeypatch):
         str(tmp_path / "grid.png"), modes=("cvar", "saa"))
     assert os.path.exists(fig)
 
+    # cherry-pick map (plot_traj_video.py:285): idx_{mode} maps paired rows
+    # back to store rows; a fully-permissive pick selects every joined row
+    picks = report_cli.pick_showcase_solves(
+        res["stats_path"], "cvar", "saa", other_min=0, self_max=10 ** 9)
+    assert len(picks) == res["n_common"]
+    fig2 = report_cli.trajectories(roots[0], str(tmp_path / "pick.png"),
+                                   n_mc=10, n_solves=2,
+                                   solve_indices=picks)
+    assert os.path.exists(fig2)
+
 
 def test_sweep_validate_report_end_to_end(tmp_path, monkeypatch):
     """Tiny full pipeline: sweep -> validate -> boxplot + trajectory figure."""

@@ -84,6 +84,25 @@ def test_topk_pallas_matches_top_k(rng, shape, k):
         np.asarray(topk_indices_pallas(xt, k, interpret=True)))
 
 
+@pytest.mark.parametrize("shape,k", [((40, 50, 64), 10), ((7, 33), 5)])
+def test_topk_onehot_pallas_matches(rng, shape, k):
+    from mpc_mmd_tpu.ops.topk_pallas import topk_onehot_pallas
+    x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    idx, oh = topk_onehot_pallas(x, k, interpret=True)
+    ref_idx = jax.lax.top_k(x, k)[1]
+    np.testing.assert_array_equal(np.asarray(ref_idx), np.asarray(idx))
+    ref_oh = (np.asarray(idx)[..., None]
+              == np.arange(shape[-1])).astype(np.float32)
+    np.testing.assert_array_equal(ref_oh, np.asarray(oh))
+    # absolute + slice_to variant (the in-kernel |samples[..., :M]| path)
+    M = shape[-1] - 1
+    idx2, oh2 = topk_onehot_pallas(x, k, interpret=True, absolute=True,
+                                   slice_to=M)
+    ref2 = jax.lax.top_k(jnp.abs(x[..., :M]), k)[1]
+    np.testing.assert_array_equal(np.asarray(ref2), np.asarray(idx2))
+    assert oh2.shape == shape[:-1] + (k, M)
+
+
 def test_use_fused_inner_cem_env_override(monkeypatch):
     from mpc_mmd_tpu.reduced_set import use_fused_inner_cem
     cfg = static_workload(num_reduced=3, num_obs=2, num_prime=15,
