@@ -32,8 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 _ROW_BLOCK = 512
 
 
-def _kernel(x_ref, idx_ref, *, k: int, M: int):
-    x = x_ref[...]                               # (B, M)
+def _kernel(x_ref, idx_ref, *, k: int, M: int, absolute: bool = False):
+    x = x_ref[:, :M]                             # (B, M) (input may be wider)
+    if absolute:
+        x = jnp.abs(x)
     B = x.shape[0]
     iota_f = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1).astype(jnp.float32)
     cols = []
@@ -70,28 +72,34 @@ def _kernel_onehot(x_ref, idx_ref, oh_ref, *, k: int, M: int,
     idx_ref[...] = jnp.stack(cols, axis=1)       # (B, k) f32
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def topk_indices_pallas(x: jnp.ndarray, k: int,
-                        interpret: bool = False) -> jnp.ndarray:
+@functools.partial(jax.jit,
+                   static_argnames=("k", "interpret", "absolute", "slice_to"))
+def topk_indices_pallas(x: jnp.ndarray, k: int, interpret: bool = False,
+                        absolute: bool = False,
+                        slice_to: int | None = None) -> jnp.ndarray:
     """Top-k indices (descending value order) along the last axis.
 
-    x: (..., M) float32.  Returns (..., k) int32.  Ties: first index wins
-    (matches lax.top_k and stable argsort on -x).
+    x: (..., W) float32; ranking runs over the first ``slice_to`` lanes
+    (default all) of ``|x|`` if ``absolute`` else ``x`` — applying
+    abs/slice in VMEM saves the caller a full-tensor materialization.
+    Returns (..., k) int32.  Ties: first index wins (matches lax.top_k and
+    stable argsort on -x).
     """
     shape = x.shape
-    M = shape[-1]
+    W = shape[-1]
+    M = W if slice_to is None else slice_to
     rows_in = int(np.prod(shape[:-1]))
-    xf = x.reshape(rows_in, M)
+    xf = x.reshape(rows_in, W)
     B = min(_ROW_BLOCK, max(8, rows_in))
     rows = int(np.ceil(rows_in / B) * B)
     if rows != rows_in:
         xf = jnp.concatenate(
-            (xf, jnp.zeros((rows - rows_in, M), xf.dtype)), axis=0)
+            (xf, jnp.zeros((rows - rows_in, W), xf.dtype)), axis=0)
 
     idx = pl.pallas_call(
-        functools.partial(_kernel, k=k, M=M),
+        functools.partial(_kernel, k=k, M=M, absolute=absolute),
         grid=(rows // B,),
-        in_specs=[pl.BlockSpec((B, M), lambda r: (r, 0),
+        in_specs=[pl.BlockSpec((B, W), lambda r: (r, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((B, k), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),

@@ -149,7 +149,8 @@ def _topk_with_onehot(x: jnp.ndarray, k: int, absolute: bool = False,
     return idx, onehot
 
 
-def _topk(x: jnp.ndarray, k: int) -> jnp.ndarray:
+def _topk(x: jnp.ndarray, k: int, absolute: bool = False,
+          slice_to: int | None = None) -> jnp.ndarray:
     """Backend-dispatched top-k indices (descending; ties -> first index).
 
     On TPU the in-scan cost of ANY XLA formulation (top_k sort network,
@@ -165,8 +166,12 @@ def _topk(x: jnp.ndarray, k: int) -> jnp.ndarray:
         on_tpu = False
     if on_tpu:
         from .ops.topk_pallas import topk_indices_pallas
-        return topk_indices_pallas(x, k)
-    return _topk_indices(x, k)
+        return topk_indices_pallas(x, k, absolute=absolute,
+                                   slice_to=slice_to)
+    y = x if slice_to is None else x[..., :slice_to]
+    if absolute:
+        y = jnp.abs(y)
+    return _topk_indices(y, k)
 
 
 def _cov_ddof1(X: jnp.ndarray) -> jnp.ndarray:
@@ -411,7 +416,8 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
             # 5.4 -> 3.5 solves/s: the serial-grid kernel writes the 40 MB
             # tensor slower than XLA's fused compare, and the kernel output
             # layout blocks fusion into the selection einsum.
-            idx_top = _topk(jnp.abs(samples[..., :M]), k)    # (C, S, k)
+            idx_top = _topk(samples, k, absolute=True,
+                            slice_to=M)                      # (C, S, k)
             onehot = (idx_top[..., None]
                       == jnp.arange(M)).astype(D.dtype)      # (C, S, k, M)
             rows = jnp.einsum("cskr,crm->cskm", onehot, D)

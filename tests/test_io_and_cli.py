@@ -44,6 +44,32 @@ def test_metric_logger(tmp_path):
     assert recs[1]["cost"] == pytest.approx(1.5)
 
 
+def test_dynamic_workload_sweep(tmp_path, monkeypatch):
+    """Tiny dynamic-workload sweep: cut-in obstacle trajectories + beta
+    noise + K_steer=0.05 end-to-end through the sweep CLI path."""
+    import dataclasses as _dc
+    import mpc_mmd_tpu.cli.sweep as sweep_cli
+    import mpc_mmd_tpu.config as config_mod
+
+    orig_dyn = config_mod.dynamic_workload
+
+    def tiny_dyn(**kw):
+        cfg = orig_dyn(**kw)
+        return cfg.replace(cem=_dc.replace(cfg.cem, maxiter_cem=2))
+
+    monkeypatch.setattr(sweep_cli, "dynamic_workload", tiny_dyn)
+    store = sweep_cli.run_sweep(
+        workload="dynamic", mode="cvar", noise="beta", noise_level=0.2,
+        num_reduced=3, num_obs=2, num_prime=15, num_configs=4,
+        out_root=str(tmp_path / "data"), chunk=2)
+    arrays = store.concatenated()
+    # obstacle trajectories are the QP-generated cut-in paths (moving)
+    if len(arrays.get("cx", ())):
+        xt = arrays["x_obs_traj"]
+        assert np.any(np.abs(xt[..., -1] - xt[..., 0]) > 1.0)
+        assert np.all(np.isfinite(arrays["cx"]))
+
+
 def test_sweep_heartbeat_abort_is_resumable(tmp_path, monkeypatch):
     """Failure detection in the sweep loop (SURVEY §5): a failed heartbeat
     aborts cleanly with completed chunks persisted; a healthy rerun
