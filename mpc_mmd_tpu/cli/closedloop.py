@@ -40,6 +40,11 @@ def main(argv=None):
     p.add_argument("--actuation", default="direct", choices=["direct", "pid"],
                    help="pid = reference throttle/brake PID mapping "
                         "(carla/main_carla.py:25-71)")
+    p.add_argument("--obstacles", type=str, nargs="*", default=None,
+                   help="obstacles as s:l pairs along the route, e.g. "
+                        "60:0 140:1.5 (default: the built-in pair). NOTE "
+                        "an obstacle with |l - lane| < b_obs for every "
+                        "lane is geometrically impassable within the band")
     args = p.parse_args(argv)
 
     cfg = onroad_workload(num_reduced=args.num_reduced, num_obs=args.num_obs,
@@ -49,9 +54,14 @@ def main(argv=None):
 
     results = []
     for ep in range(args.episodes):
+        kw = {}
+        if args.obstacles is not None:
+            kw["obstacles_s_l"] = tuple(
+                tuple(float(v) for v in o.split(":")) for o in args.obstacles)
         r = run_episode(cfg, route_kind=args.route, v_des=args.v_des,
                         max_steps=args.max_steps, goal_arc=args.goal_arc,
-                        seed=ep, solver=solver, actuation=args.actuation)
+                        seed=ep, solver=solver, actuation=args.actuation,
+                        **kw)
         results.append(r)
         times = r.solve_times[1:] or r.solve_times
         print(json.dumps({

@@ -404,8 +404,27 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
     z_all = jax.vmap(
         lambda kk: jax.random.normal(kk, (S - n_el, M + 1)))(jnp.stack(kz_list))
 
+    # The whole CEM update is affine in the elites:
+    #   fresh_s = mean + inv_sqrt * sum_e u_se (elite_e - mean) + jit * z_s
+    #           = sum_e [inv_sqrt*u_se + (1 - inv_sqrt*sum_e u_se)/n_el] elite_e
+    #             + jit * z_s
+    # so new_samples = B_t @ elites + Z_t with B_t = [[I]; [A_t]] and
+    # Z_t = [[0]; [jit * z_t]], both depending ONLY on the hoisted noise —
+    # precomputed here for every iteration.  This collapses the in-scan
+    # mean / fresh-einsum / concatenate chain (profiled 82 us concat copy +
+    # fresh passes per iteration) into ONE (S, n_el) x (C, n_el, M+1) GEMM.
+    s_u = jnp.sum(u_all, axis=2)                            # (maxiter, S-n_el)
+    A_all = (inv_sqrt * u_all
+             + ((1.0 - inv_sqrt * s_u) / n_el)[..., None])  # (., S-n_el, n_el)
+    eye_rows = jnp.broadcast_to(jnp.eye(n_el)[None],
+                                (b.maxiter, n_el, n_el))
+    B_all = jnp.concatenate((eye_rows, A_all), axis=1)      # (., S, n_el)
+    Z_all = jnp.concatenate(
+        (jnp.zeros((b.maxiter, n_el, M + 1)), sqrt_jit * z_all),
+        axis=1)                                             # (., S, M+1)
+
     def iteration(samples, uz):
-        u, z = uz
+        B_t, Z_t = uz
         if selection == "fused":
             row_sum, K_red, idx_top = topk_kernel_matrices(
                 samples, D, k, interpret=interpret)
@@ -435,15 +454,11 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         onehot_el = (idx_el[..., None]
                      == jnp.arange(S)).astype(samples.dtype)  # (C, n_el, S)
         elites = jnp.einsum("ces,csm->cem", onehot_el, samples)
-        mean = jnp.mean(elites, axis=1)
-        fresh = (mean[:, None]
-                 + jnp.einsum("se,cem->csm", u, elites - mean[:, None])
-                 * inv_sqrt + sqrt_jit * z[None])
-        # elites' sigma lane is already clipped (inductively: samples0 and
-        # every written batch are), so clipping just the fresh rows before
-        # the concat is exact and saves one full-tensor pass.
-        fresh = jnp.maximum(fresh, lane_floor)
-        new_samples = jnp.concatenate((elites, fresh), axis=1)
+        # the precomputed affine update (see B_all/Z_all above); the lane
+        # floor is identity on the elite rows (inductively clipped), so one
+        # fused maximum over the whole batch is exact.
+        new_samples = jnp.maximum(
+            jnp.einsum("se,cem->csm", B_t, elites) + Z_t, lane_floor)
 
         i_min = jnp.argmin(cost, axis=1)                     # (C,)
         # one-hot contractions for the winner row of each candidate (the
@@ -457,7 +472,7 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         return new_samples, best
 
     _, (betas, sigmas, idxs, mins) = lax.scan(
-        iteration, samples0, (u_all, z_all))
+        iteration, samples0, (B_all, Z_all))
 
     idx_best = idxs[-1]                                      # (C, k)
     x_red = jnp.take_along_axis(x_roll, idx_best[:, :, None], axis=1)
