@@ -31,6 +31,16 @@ def enable_persistent_cache(path: str | None = None) -> str:
     env = os.environ.get("MPC_MMD_JAX_CACHE")
     if env == "0":
         return ""
+    # TPU-only: XLA:CPU serializes AOT results keyed loosely enough that an
+    # entry compiled under one host's CPU feature set can be loaded on
+    # another (observed: +prefer-no-scatter mismatch warnings, potential
+    # SIGILL).  CPU compiles here are seconds anyway; the cache exists to
+    # amortize the minutes-long TPU cold compile.
+    try:
+        if jax.default_backend() != "tpu":
+            return ""
+    except Exception:
+        return ""
     cache_dir = path or env or _DEFAULT_DIR
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
