@@ -227,3 +227,17 @@ def test_sweep_validate_report_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists(fig2)
     gif = report_cli.animate(store.root, str(tmp_path / "traj.gif"), n_mc=10)
     assert os.path.exists(gif)
+
+
+def test_persistent_cache_tpu_only(monkeypatch, tmp_path):
+    """The persistent XLA cache must stay disabled off-TPU: XLA:CPU AOT
+    entries are keyed loosely enough to load under a mismatched host CPU
+    feature set (SIGILL risk)."""
+    from mpc_mmd_tpu.utils import compilation_cache as cc
+
+    # test env runs on the CPU backend -> disabled regardless of env var
+    monkeypatch.setenv("MPC_MMD_JAX_CACHE", str(tmp_path / "cache"))
+    assert cc.enable_persistent_cache() == ""
+    # explicit opt-out stays an opt-out
+    monkeypatch.setenv("MPC_MMD_JAX_CACHE", "0")
+    assert cc.enable_persistent_cache() == ""
