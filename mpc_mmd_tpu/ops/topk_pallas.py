@@ -36,6 +36,10 @@ def _kernel(x_ref, idx_ref, *, k: int, M: int, absolute: bool = False):
     x = x_ref[:, :M]                             # (B, M) (input may be wider)
     if absolute:
         x = jnp.abs(x)
+    # NaN-last: with NaN lanes `x >= max` can be all-false, which would emit
+    # the out-of-range sentinel M as the round's index.  Masking to -inf
+    # keeps every emitted index in range (a NaN lane simply never wins).
+    x = jnp.where(jnp.isnan(x), -jnp.inf, x)
     B = x.shape[0]
     iota_f = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1).astype(jnp.float32)
     cols = []
@@ -58,6 +62,7 @@ def _kernel_onehot(x_ref, idx_ref, oh_ref, *, k: int, M: int,
     x = x_ref[:, :M]                             # (B, M) (input may be wider)
     if absolute:
         x = jnp.abs(x)
+    x = jnp.where(jnp.isnan(x), -jnp.inf, x)     # NaN-last (see _kernel)
     B = x.shape[0]
     iota_f = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1).astype(jnp.float32)
     cols = []
@@ -72,6 +77,23 @@ def _kernel_onehot(x_ref, idx_ref, oh_ref, *, k: int, M: int,
     idx_ref[...] = jnp.stack(cols, axis=1)       # (B, k) f32
 
 
+def _pad_rows(x: jnp.ndarray):
+    """Flatten leading axes and zero-pad rows to a block multiple.
+
+    Returns (xf (rows, W), rows_in, rows, B): the shared plumbing of every
+    row-blocked kernel here — one place to change the block-size rule.
+    """
+    shape = x.shape
+    rows_in = int(np.prod(shape[:-1]))
+    xf = x.reshape(rows_in, shape[-1])
+    B = min(_ROW_BLOCK, max(8, rows_in))
+    rows = int(np.ceil(rows_in / B) * B)
+    if rows != rows_in:
+        xf = jnp.concatenate(
+            (xf, jnp.zeros((rows - rows_in, shape[-1]), xf.dtype)), axis=0)
+    return xf, rows_in, rows, B
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "interpret", "absolute", "slice_to"))
 def topk_indices_pallas(x: jnp.ndarray, k: int, interpret: bool = False,
@@ -83,18 +105,13 @@ def topk_indices_pallas(x: jnp.ndarray, k: int, interpret: bool = False,
     (default all) of ``|x|`` if ``absolute`` else ``x`` — applying
     abs/slice in VMEM saves the caller a full-tensor materialization.
     Returns (..., k) int32.  Ties: first index wins (matches lax.top_k and
-    stable argsort on -x).
+    stable argsort on -x); NaN lanes rank last (never selected while any
+    finite lane remains).
     """
     shape = x.shape
     W = shape[-1]
     M = W if slice_to is None else slice_to
-    rows_in = int(np.prod(shape[:-1]))
-    xf = x.reshape(rows_in, W)
-    B = min(_ROW_BLOCK, max(8, rows_in))
-    rows = int(np.ceil(rows_in / B) * B)
-    if rows != rows_in:
-        xf = jnp.concatenate(
-            (xf, jnp.zeros((rows - rows_in, W), xf.dtype)), axis=0)
+    xf, rows_in, rows, B = _pad_rows(x)
 
     idx = pl.pallas_call(
         functools.partial(_kernel, k=k, M=M, absolute=absolute),
@@ -119,18 +136,12 @@ def topk_onehot_pallas(x: jnp.ndarray, k: int, interpret: bool = False,
     (default all W) of ``|x|`` if ``absolute`` else ``x``.  Returns
     (idx (..., k) int32, onehot (..., k, M) float32) with
     onehot[..., j, :] the indicator of idx[..., j].  Ties: first index wins
-    (lax.top_k semantics).
+    (lax.top_k semantics); NaN lanes rank last.
     """
     shape = x.shape
     W = shape[-1]
     M = W if slice_to is None else slice_to
-    rows_in = int(np.prod(shape[:-1]))
-    xf = x.reshape(rows_in, W)
-    B = min(_ROW_BLOCK, max(8, rows_in))
-    rows = int(np.ceil(rows_in / B) * B)
-    if rows != rows_in:
-        xf = jnp.concatenate(
-            (xf, jnp.zeros((rows - rows_in, W), xf.dtype)), axis=0)
+    xf, rows_in, rows, B = _pad_rows(x)
 
     idx, oh = pl.pallas_call(
         functools.partial(_kernel_onehot, k=k, M=M, absolute=absolute),

@@ -123,32 +123,6 @@ def _topk_indices(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(idxs, axis=-1)
 
 
-def _topk_with_onehot(x: jnp.ndarray, k: int, absolute: bool = False,
-                      slice_to: int | None = None):
-    """(indices, f32 one-hot) of the k largest entries of
-    ``|x[..., :slice_to]|`` (absolute=True) or ``x[..., :slice_to]``.
-
-    NOT in the production path: on v5e-lite routing the one-hot through the
-    Pallas kernel measured 5.4 -> 3.5 solves/s (the serial-grid kernel
-    writes the (rows, k, M) tensor slower than XLA's fused iota-compare and
-    its output layout blocks fusion into the selection einsum).  Kept,
-    tested, for re-evaluation on multi-core chips.
-    """
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:
-        on_tpu = False
-    if on_tpu:
-        from .ops.topk_pallas import topk_onehot_pallas
-        return topk_onehot_pallas(x, k, absolute=absolute, slice_to=slice_to)
-    y = x if slice_to is None else x[..., :slice_to]
-    if absolute:
-        y = jnp.abs(y)
-    idx = _topk_indices(y, k)
-    onehot = (idx[..., None] == jnp.arange(y.shape[-1])).astype(y.dtype)
-    return idx, onehot
-
-
 def _topk(x: jnp.ndarray, k: int, absolute: bool = False,
           slice_to: int | None = None) -> jnp.ndarray:
     """Backend-dispatched top-k indices (descending; ties -> first index).
@@ -171,6 +145,9 @@ def _topk(x: jnp.ndarray, k: int, absolute: bool = False,
     y = x if slice_to is None else x[..., :slice_to]
     if absolute:
         y = jnp.abs(y)
+    # NaN-last, matching the Pallas kernel: a NaN lane never wins a round
+    # (argmax would otherwise propagate it backend-dependently).
+    y = jnp.where(jnp.isnan(y), -jnp.inf, y)
     return _topk_indices(y, k)
 
 
@@ -448,6 +425,12 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         # NaN costs -> +inf: keeps poisoned samples out of the elite set
         # (argsort-NaN-last semantics of the exact path)
         cost = jnp.where(jnp.isnan(cost), jnp.inf, cost)
+        # NaN betas -> 0: the winner extraction below is a one-hot einsum
+        # over the sample axis, and 0 * NaN from a NON-winning poisoned
+        # sample would otherwise contaminate the selected row (the
+        # take_along_axis it replaced was immune).  Poisoned samples carry
+        # +inf cost so zeroing never alters a genuine winner.
+        beta_opt = jnp.where(jnp.isnan(beta_opt), 0.0, beta_opt)
         # one-hot MXU gather: take_along_axis along the sample axis
         # scalarizes on TPU (same failure mode as the selection gathers)
         idx_el = _topk(-cost, n_el)                          # (C, n_el)
