@@ -84,6 +84,39 @@ def test_topk_pallas_matches_top_k(rng, shape, k):
         np.asarray(topk_indices_pallas(xt, k, interpret=True)))
 
 
+def test_topk_nan_lanes_rank_last(rng):
+    """NaN entries never win a selection round while finite lanes remain,
+    and every emitted index stays in range (a NaN lane used to make the
+    kernel's ``x >= max`` mask all-false and emit the sentinel M)."""
+    from mpc_mmd_tpu.ops.topk_pallas import (topk_indices_pallas,
+                                             topk_onehot_pallas)
+    from mpc_mmd_tpu.reduced_set import _topk
+
+    M, k = 33, 5
+    x = np.asarray(rng.normal(0, 1, (9, M)), np.float32)
+    x[0, :] = np.nan                      # all-NaN row: indices still valid
+    x[1, ::2] = np.nan                    # half-poisoned row
+    x[2, x[2] > 0] = np.nan               # data-dependent poisoning
+    xj = jnp.asarray(x)
+
+    finite_ref = jnp.where(jnp.isnan(xj), -jnp.inf, xj)
+    ref = np.asarray(jax.lax.top_k(finite_ref, k)[1])
+
+    got_pallas = topk_indices_pallas(xj, k, interpret=True)
+    got_fallback = _topk(xj, k)           # CPU argmax-rounds path
+    got_oh, _ = topk_onehot_pallas(xj, k, interpret=True)
+    for got in (got_pallas, got_fallback, got_oh):
+        got = np.asarray(got)
+        assert got.max() < M and got.min() >= 0
+        # rows with >= k finite lanes match top_k-on-(-inf-masked) exactly
+        np.testing.assert_array_equal(ref[1:], got[1:])
+        # fully-degenerate all-NaN row: value-masking rounds re-emit index 0
+        # (top_k's sort would emit 0..k-1); both are "arbitrary but
+        # in-range", and the consumer (inner CEM) never selects such a
+        # sample (its QP cost is NaN -> +inf)
+        np.testing.assert_array_equal(got[0], np.zeros(k, got.dtype))
+
+
 @pytest.mark.parametrize("shape,k", [((40, 50, 64), 10), ((7, 33), 5)])
 def test_topk_onehot_pallas_matches(rng, shape, k):
     from mpc_mmd_tpu.ops.topk_pallas import topk_onehot_pallas
