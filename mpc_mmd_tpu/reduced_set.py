@@ -329,10 +329,18 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
     profiled fastest on v5e.  "fused" runs the whole selection stage as the
     round-1 Pallas kernel (ops/topk_kernel_pallas.py) — kept behind
     MPC_MMD_FUSED_CEM=1 for bigger chips (it lost on v5e-lite, see
-    benchmarks/PROFILE_NOTES.md).
+    benchmarks/PROFILE_NOTES.md).  "g" is the reduce-before-gather
+    formulation (benchmarks/micro_g_formulation.py): row_sum as one fused
+    exp+reduce over ALL mother rows followed by a scalar gather (the
+    reduction commutes with the row gather), K_red from feature-space
+    pairwise L1 — no (C, S, k, M) rows tensor at all.  Values match the
+    einsum form up to sum reassociation (~1e-5 relative).  Opt in via
+    MPC_MMD_SELECTION=g.
     """
+    import os
     if selection is None:
-        selection = "fused" if use_fused_inner_cem(cfg) else "xla"
+        selection = os.environ.get("MPC_MMD_SELECTION") or (
+            "fused" if use_fused_inner_cem(cfg) else "xla")
     if selection == "fused":
         from .ops.topk_kernel_pallas import topk_kernel_matrices
 
@@ -405,6 +413,22 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         if selection == "fused":
             row_sum, K_red, idx_top = topk_kernel_matrices(
                 samples, D, k, interpret=interpret)
+        elif selection == "g":
+            sigma = samples[..., -1]                         # (C, S), clipped
+            idx_top = _topk(samples, k, absolute=True,
+                            slice_to=M)                      # (C, S, k)
+            onehot = (idx_top[..., None]
+                      == jnp.arange(M)).astype(D.dtype)      # (C, S, k, M)
+            # fused exp+reduce: XLA materializes only the (C, S, M) output
+            G = jnp.sum(
+                jnp.exp(-D[:, None, :, :] / sigma[:, :, None, None]),
+                axis=-1)
+            row_sum = jnp.einsum("cskr,csr->csk", onehot, G)
+            fsel = jnp.einsum("cskr,crf->cskf", onehot, feats)
+            d_sub = jnp.sum(
+                jnp.abs(fsel[:, :, :, None, :] - fsel[:, :, None, :, :]),
+                axis=-1)                                     # (C, S, k, k)
+            K_red = jnp.exp(-d_sub / sigma[..., None, None])
         else:
             sigma = samples[..., -1]                         # (C, S), clipped
             # NOTE: keep the one-hot as an XLA iota-compare — emitting it

@@ -187,3 +187,30 @@ def test_fused_rollout_per_lane_init_states(rng):
     x2, y2 = fused_rollout(acc, steer, state0, 0.15, 2.5, interpret=True)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_g_selection_matches_xla_selection(rng):
+    """The reduce-before-gather selection ("g") equals the one-hot einsum
+    form up to sum reassociation; index-derived outputs are identical."""
+    cfg = static_workload(num_reduced=3, num_obs=2, num_prime=15,
+                          mode="mmd_opt")
+    cfg = cfg.replace(
+        beta_cem=dataclasses.replace(cfg.beta_cem, maxiter=4))
+    M = cfg.risk.num_mother
+    Cn, nvar, T = 3, 11, 20
+    cx = jnp.asarray(rng.normal(0, 1, (Cn, M, nvar)), jnp.float32)
+    cy = jnp.asarray(rng.normal(0, 1, (Cn, M, nvar)), jnp.float32)
+    xr = jnp.asarray(rng.normal(0, 1, (Cn, M, T)), jnp.float32)
+    yr = jnp.asarray(rng.normal(0, 1, (Cn, M, T)), jnp.float32)
+
+    ref = select_reduced_set_batched(cfg, cx, cy, xr, yr, selection="xla")
+    got = select_reduced_set_batched(cfg, cx, cy, xr, yr, selection="g")
+
+    np.testing.assert_allclose(np.asarray(ref.res), np.asarray(got.res),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.beta), np.asarray(got.beta),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.sigma), np.asarray(got.sigma),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.x_red), np.asarray(got.x_red))
+    np.testing.assert_array_equal(np.asarray(ref.y_red), np.asarray(got.y_red))
