@@ -27,7 +27,8 @@ def boxplot(stats_paths, labels, n_mc: int, out_path: str):
     data = []
     for path in stats_paths:
         with np.load(os.path.join(path, "validation.npz")) as z:
-            data.append(z["coll_count"] / n_mc * 100.0)
+            denom = int(z["n_mc"]) if "n_mc" in z else n_mc
+            data.append(z["coll_count"] / denom * 100.0)
 
     fig, ax = plt.subplots(figsize=(1.8 * len(data) + 2, 4))
     ax.boxplot(data, tick_labels=labels, showmeans=True)
@@ -65,14 +66,18 @@ def grid_boxplot(stats_root: str, noise: str, noise_levels, num_reduced_sets,
         for j, lvl in enumerate(noise_levels):
             ax = axs[i][j]
             path = os.path.join(
-                stats_root, f"{noise}_noise", f"noise_{int(lvl * 100)}",
+                stats_root, f"{noise}_noise", f"noise_{round(lvl * 100)}",
                 f"ts_{num_prime}", f"{num_reduced}_samples_{num_obs}_obs.npz")
             if not os.path.exists(path):
                 ax.set_axis_off()
                 continue
             with np.load(path) as z:
                 present = [m for m in modes if f"coll_{m}" in z]
-                data = [z[f"coll_{m}"] / n_mc * 100.0 for m in present]
+                # prefer the n_mc recorded at validation time (newer stats
+                # npz carry it); the CLI value is only a fallback for old
+                # artifacts — a mismatched guess would scale every cell
+                denom = int(z["n_mc"]) if "n_mc" in z else n_mc
+                data = [z[f"coll_{m}"] / denom * 100.0 for m in present]
             bp = ax.boxplot(data, showfliers=False, widths=0.8,
                             patch_artist=False)
             for box, m in zip(bp["boxes"], present):
@@ -291,6 +296,13 @@ def main(argv=None):
     elif args.cmd == "trajectories":
         picks = None
         if args.pick_stats:
+            from ..utils.io_store import ResultStore
+            store_mode = ResultStore(args.data).meta.get("mode")
+            if store_mode != args.pick_self:
+                raise SystemExit(
+                    f"--pick_stats indices are row numbers in the "
+                    f"{args.pick_self!r} store, but --data points at a "
+                    f"{store_mode!r} store — wrong scenarios would render")
             picks = pick_showcase_solves(args.pick_stats, args.pick_self,
                                          args.pick_other,
                                          args.pick_other_min)

@@ -77,6 +77,7 @@ def validate_store(data_root: str, n_mc: int = 1000, seed: int = 0,
     os.makedirs(out_root, exist_ok=True)
     np.savez(os.path.join(out_root, "validation.npz"),
              coll_count=coll, lane_count=lane, coll_fraction=frac,
+             n_mc=np.int64(n_mc),
              seeds=arrays.get("seeds", np.zeros(0)))
     with open(os.path.join(out_root, "summary.json"), "w") as f:
         json.dump({k: v for k, v in out.items()
@@ -176,15 +177,35 @@ def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
             "lane_mean": float(np.mean(lane)),
         }
 
+    # round(), not int(): 0.29 * 100 == 28.999... and int() would mislabel
+    # the directory (the reference's validation.py:459 layout says 29)
     stats_dir = os.path.join(
-        out_root, f"{base['noise']}_noise", f"noise_{int(base['noise_level'] * 100)}",
+        out_root, f"{base['noise']}_noise",
+        f"noise_{round(base['noise_level'] * 100)}",
         f"ts_{base['num_prime']}")
     os.makedirs(stats_dir, exist_ok=True)
     stats_path = os.path.join(
         stats_dir, f"{base['num_reduced']}_samples_{num_obs}_obs.npz")
+    # The stats layout (mirroring the reference's) does not encode the
+    # workload; static and dynamic runs with identical knobs would silently
+    # truncate each other's npz.  Refuse instead — use distinct --out roots
+    # per workload (as artifacts/acceptance/ does: stats/ vs stats_dynamic/).
+    workload = base.get("workload", "static")
+    sidecar = stats_path.replace(".npz", ".json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            prev = json.load(f)
+        if prev.get("workload", workload) != workload:
+            raise ValueError(
+                f"{stats_path} already holds {prev['workload']!r} stats; "
+                f"pass a different --out root for the {workload!r} workload")
+    out["workload"] = workload
+    # n_mc rides in the npz so readers scale counts by the value actually
+    # used at validation time, not a caller-supplied guess
+    npz_payload["n_mc"] = np.int64(n_mc)
     np.savez(stats_path, **npz_payload)
     out["stats_path"] = stats_path
-    with open(stats_path.replace(".npz", ".json"), "w") as f:
+    with open(sidecar, "w") as f:
         json.dump(out, f, indent=1)
     return out
 

@@ -341,6 +341,9 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
     if selection is None:
         selection = os.environ.get("MPC_MMD_SELECTION") or (
             "fused" if use_fused_inner_cem(cfg) else "xla")
+    if selection not in ("xla", "fused", "g"):
+        raise ValueError(f"unknown selection {selection!r} "
+                         "(expected 'xla', 'fused' or 'g')")
     if selection == "fused":
         from .ops.topk_kernel_pallas import topk_kernel_matrices
 

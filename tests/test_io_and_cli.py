@@ -63,11 +63,13 @@ def test_dynamic_workload_sweep(tmp_path, monkeypatch):
         num_reduced=3, num_obs=2, num_prime=15, num_configs=4,
         out_root=str(tmp_path / "data"), chunk=2)
     arrays = store.concatenated()
+    # at least one config must clear the acceptance threshold, else the
+    # substantive checks below would be skipped silently
+    assert len(arrays.get("cx", ())) >= 1
     # obstacle trajectories are the QP-generated cut-in paths (moving)
-    if len(arrays.get("cx", ())):
-        xt = arrays["x_obs_traj"]
-        assert np.any(np.abs(xt[..., -1] - xt[..., 0]) > 1.0)
-        assert np.all(np.isfinite(arrays["cx"]))
+    xt = arrays["x_obs_traj"]
+    assert np.any(np.abs(xt[..., -1] - xt[..., 0]) > 1.0)
+    assert np.all(np.isfinite(arrays["cx"]))
 
 
 def test_sweep_heartbeat_abort_is_resumable(tmp_path, monkeypatch):
