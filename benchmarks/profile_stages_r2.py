@@ -9,6 +9,9 @@ import sys; sys.path.insert(0, "/root/repo")
 import time
 from functools import partial
 
+from mpc_mmd_tpu.utils.compilation_cache import enable_persistent_cache
+enable_persistent_cache()
+
 import numpy as np
 import jax
 import jax.numpy as jnp

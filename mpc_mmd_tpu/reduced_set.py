@@ -411,18 +411,23 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         (jnp.zeros((b.maxiter, n_el, M + 1)), sqrt_jit * z_all),
         axis=1)                                             # (., S, M+1)
 
-    def iteration(samples, uz):
-        B_t, Z_t = uz
+    def _selection_qp(samples_sub):
+        """Per-row selection + reduced-set QP on a (C, S_sub, M+1) batch.
+
+        Pure function of the rows (and the iteration-constant D/feats), so
+        its outputs for a row can be cached across iterations when the row
+        itself is carried unchanged (see elite_carry below).
+        """
         if selection == "fused":
             row_sum, K_red, idx_top = topk_kernel_matrices(
-                samples, D, k, interpret=interpret)
+                samples_sub, D, k, interpret=interpret)
         elif selection == "g":
-            sigma = samples[..., -1]                         # (C, S), clipped
-            idx_top = _topk(samples, k, absolute=True,
-                            slice_to=M)                      # (C, S, k)
+            sigma = samples_sub[..., -1]                     # (C, Ss), clipped
+            idx_top = _topk(samples_sub, k, absolute=True,
+                            slice_to=M)                      # (C, Ss, k)
             onehot = (idx_top[..., None]
-                      == jnp.arange(M)).astype(D.dtype)      # (C, S, k, M)
-            # fused exp+reduce: XLA materializes only the (C, S, M) output
+                      == jnp.arange(M)).astype(D.dtype)      # (C, Ss, k, M)
+            # fused exp+reduce: XLA materializes only the (C, Ss, M) output
             G = jnp.sum(
                 jnp.exp(-D[:, None, :, :] / sigma[:, :, None, None]),
                 axis=-1)
@@ -430,24 +435,24 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
             fsel = jnp.einsum("cskr,crf->cskf", onehot, feats)
             d_sub = jnp.sum(
                 jnp.abs(fsel[:, :, :, None, :] - fsel[:, :, None, :, :]),
-                axis=-1)                                     # (C, S, k, k)
+                axis=-1)                                     # (C, Ss, k, k)
             K_red = jnp.exp(-d_sub / sigma[..., None, None])
         else:
-            sigma = samples[..., -1]                         # (C, S), clipped
+            sigma = samples_sub[..., -1]                     # (C, Ss), clipped
             # NOTE: keep the one-hot as an XLA iota-compare — emitting it
             # from the Pallas top-k kernel (topk_onehot_pallas) measured
             # 5.4 -> 3.5 solves/s: the serial-grid kernel writes the 40 MB
             # tensor slower than XLA's fused compare, and the kernel output
             # layout blocks fusion into the selection einsum.
-            idx_top = _topk(samples, k, absolute=True,
-                            slice_to=M)                      # (C, S, k)
+            idx_top = _topk(samples_sub, k, absolute=True,
+                            slice_to=M)                      # (C, Ss, k)
             onehot = (idx_top[..., None]
-                      == jnp.arange(M)).astype(D.dtype)      # (C, S, k, M)
+                      == jnp.arange(M)).astype(D.dtype)      # (C, Ss, k, M)
             rows = jnp.einsum("cskr,crm->cskm", onehot, D)
             K_mixed = jnp.exp(-rows / sigma[..., None, None])
             K_red = jnp.einsum("cskm,csjm->cskj", K_mixed, onehot)
             row_sum = jnp.sum(K_mixed, axis=-1)
-        beta_opt, cost = _beta_qp(K_red, row_sum, M, cfg)    # (C,S,k), (C,S)
+        beta_opt, cost = _beta_qp(K_red, row_sum, M, cfg)   # (C,Ss,k), (C,Ss)
 
         # NaN costs -> +inf: keeps poisoned samples out of the elite set
         # (argsort-NaN-last semantics of the exact path)
@@ -458,6 +463,9 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         # take_along_axis it replaced was immune).  Poisoned samples carry
         # +inf cost so zeroing never alters a genuine winner.
         beta_opt = jnp.where(jnp.isnan(beta_opt), 0.0, beta_opt)
+        return idx_top, beta_opt, cost
+
+    def _update_and_best(samples, idx_top, beta_opt, cost, B_t, Z_t):
         # one-hot MXU gather: take_along_axis along the sample axis
         # scalarizes on TPU (same failure mode as the selection gathers)
         idx_el = _topk(-cost, n_el)                          # (C, n_el)
@@ -470,6 +478,18 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         new_samples = jnp.maximum(
             jnp.einsum("se,cem->csm", B_t, elites) + Z_t, lane_floor)
 
+        # elite-row selection/QP results, in elite-rank order (= rows
+        # 0..n_el-1 of new_samples): carried to the next iteration so the
+        # unchanged rows are not recomputed.  Cost via take_along_axis, NOT
+        # a one-hot einsum — 0 * inf from a non-selected poisoned sample
+        # would turn the carried cost into NaN (the gather is (C, n_el),
+        # tiny).  beta/idx are sanitized finite, so MXU one-hots are safe.
+        el_cost = jnp.take_along_axis(cost, idx_el, axis=1)
+        el_beta = jnp.einsum("ces,csk->cek", onehot_el, beta_opt)
+        el_idx = jnp.einsum(
+            "ces,csk->cek", onehot_el,
+            idx_top.astype(samples.dtype)).astype(idx_top.dtype)
+
         i_min = jnp.argmin(cost, axis=1)                     # (C,)
         # one-hot contractions for the winner row of each candidate (the
         # dynamic per-candidate take_along_axis scalarizes on TPU)
@@ -479,10 +499,52 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
                 jnp.einsum("cs,csk->ck", oh_min,
                            idx_top.astype(samples.dtype)).astype(idx_top.dtype),
                 jnp.min(cost, axis=1))
-        return new_samples, best
+        return new_samples, (el_idx, el_beta, el_cost), best
 
-    _, (betas, sigmas, idxs, mins) = lax.scan(
-        iteration, samples0, (B_all, Z_all))
+    # Elite-carry: new_samples rows 0..n_el-1 ARE the elites, bit-unchanged
+    # (B_t's top block is the identity and the lane floor is a no-op on
+    # inductively-clipped rows), and _selection_qp is a pure per-row
+    # function of (row, D) — so the elites' selection/QP outputs from this
+    # iteration are exactly what the next iteration would recompute for
+    # them.  Carry (idx_top, beta, cost) for the elite rows and run the
+    # heavy selection stage on only the S - n_el fresh rows (~11% of the
+    # dominant solve stage at the production shape).  The fused kernel
+    # path keeps full recompute (its row blocking assumes the full batch).
+    elite_carry = (selection != "fused"
+                   and os.environ.get("MPC_MMD_ELITE_CARRY", "1") != "0")
+
+    if elite_carry:
+        idx0, beta0, cost0 = _selection_qp(samples0)
+        samples1, carried1, best0 = _update_and_best(
+            samples0, idx0, beta0, cost0, B_all[0], Z_all[0])
+
+        def iteration(carry, uz):
+            samples, (el_idx, el_beta, el_cost) = carry
+            B_t, Z_t = uz
+            idx_f, beta_f, cost_f = _selection_qp(samples[:, n_el:])
+            idx_top = jnp.concatenate((el_idx, idx_f), axis=1)
+            beta_opt = jnp.concatenate((el_beta, beta_f), axis=1)
+            cost = jnp.concatenate((el_cost, cost_f), axis=1)
+            new_samples, carried, best = _update_and_best(
+                samples, idx_top, beta_opt, cost, B_t, Z_t)
+            return (new_samples, carried), best
+
+        _, (betas, sigmas, idxs, mins) = lax.scan(
+            iteration, (samples1, carried1), (B_all[1:], Z_all[1:]))
+        betas = jnp.concatenate((best0[0][None], betas))
+        sigmas = jnp.concatenate((best0[1][None], sigmas))
+        idxs = jnp.concatenate((best0[2][None], idxs))
+        mins = jnp.concatenate((best0[3][None], mins))
+    else:
+        def iteration(samples, uz):
+            B_t, Z_t = uz
+            idx_top, beta_opt, cost = _selection_qp(samples)
+            new_samples, _, best = _update_and_best(
+                samples, idx_top, beta_opt, cost, B_t, Z_t)
+            return new_samples, best
+
+        _, (betas, sigmas, idxs, mins) = lax.scan(
+            iteration, samples0, (B_all, Z_all))
 
     idx_best = idxs[-1]                                      # (C, k)
     x_red = jnp.take_along_axis(x_roll, idx_best[:, :, None], axis=1)

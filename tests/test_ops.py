@@ -214,3 +214,41 @@ def test_g_selection_matches_xla_selection(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ref.x_red), np.asarray(got.x_red))
     np.testing.assert_array_equal(np.asarray(ref.y_red), np.asarray(got.y_red))
+
+
+@pytest.mark.parametrize("maxiter", [1, 4])
+def test_elite_carry_matches_full_recompute(rng, monkeypatch, maxiter):
+    """Carrying the elite rows' selection/QP results across inner-CEM
+    iterations matches recomputing them: new_samples rows 0..n_el-1 ARE
+    the elites (identity top block of the affine update, lane floor a
+    no-op on clipped rows) and the per-row selection+QP is a pure
+    function of (row, D).  Index-derived outputs (selected rollouts) are
+    bit-identical; float outputs agree to rounding (the peeled first
+    iteration compiles as a separate program from the scan body, so XLA
+    may reassociate its reductions differently)."""
+    cfg = static_workload(num_reduced=3, num_obs=2, num_prime=15,
+                          mode="mmd_opt")
+    cfg = cfg.replace(
+        beta_cem=dataclasses.replace(cfg.beta_cem, maxiter=maxiter))
+    M = cfg.risk.num_mother
+    Cn, nvar, T = 3, 11, 20
+    cx = jnp.asarray(rng.normal(0, 1, (Cn, M, nvar)), jnp.float32)
+    cy = jnp.asarray(rng.normal(0, 1, (Cn, M, nvar)), jnp.float32)
+    xr = jnp.asarray(rng.normal(0, 1, (Cn, M, T)), jnp.float32)
+    yr = jnp.asarray(rng.normal(0, 1, (Cn, M, T)), jnp.float32)
+
+    monkeypatch.setenv("MPC_MMD_ELITE_CARRY", "0")
+    ref = select_reduced_set_batched(cfg, cx, cy, xr, yr)
+    monkeypatch.setenv("MPC_MMD_ELITE_CARRY", "1")
+    got = select_reduced_set_batched(cfg, cx, cy, xr, yr)
+
+    np.testing.assert_allclose(np.asarray(ref.res), np.asarray(got.res),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ref.beta), np.asarray(got.beta),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.sigma), np.asarray(got.sigma),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(ref.x_red),
+                                  np.asarray(got.x_red))
+    np.testing.assert_array_equal(np.asarray(ref.y_red),
+                                  np.asarray(got.y_red))
