@@ -514,27 +514,92 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
                    and os.environ.get("MPC_MMD_ELITE_CARRY", "1") != "0")
 
     if elite_carry:
+        def _update_samples(samples, cost, B_t, Z_t):
+            # one-hot MXU gather: take_along_axis along the sample axis
+            # scalarizes on TPU (same failure mode as the selection gathers)
+            idx_el = _topk(-cost, n_el)                      # (C, n_el)
+            onehot_el = (idx_el[..., None]
+                         == jnp.arange(S)).astype(samples.dtype)
+            elites = jnp.einsum("ces,csm->cem", onehot_el, samples)
+            # precomputed affine update (see B_all/Z_all above); the lane
+            # floor is identity on the elite rows (inductively clipped).
+            new_samples = jnp.maximum(
+                jnp.einsum("se,cem->csm", B_t, elites) + Z_t, lane_floor)
+            # carried elite cost via take_along_axis, NOT a one-hot einsum —
+            # 0 * inf from a non-selected poisoned sample would turn it
+            # into NaN (the gather is (C, n_el), tiny).
+            el_cost = jnp.take_along_axis(cost, idx_el, axis=1)
+            return new_samples, onehot_el, el_cost
+
+        def _winner(idx_top, beta_opt, cost, new_samples):
+            i_min = jnp.argmin(cost, axis=1)                 # (C,)
+            # one-hot contractions for the winner row of each candidate
+            # (per-candidate take_along_axis scalarizes on TPU)
+            oh_min = (i_min[:, None]
+                      == jnp.arange(S)).astype(new_samples.dtype)
+            return (jnp.einsum("cs,csk->ck", oh_min, beta_opt),
+                    jnp.einsum("cs,cs->c", oh_min, new_samples[..., -1]),
+                    jnp.einsum("cs,csk->ck", oh_min,
+                               idx_top.astype(new_samples.dtype)
+                               ).astype(idx_top.dtype))
+
+        # iteration 0 peeled out of the scan (all rows fresh: full-batch
+        # selection), and the winner extraction peeled off the LAST
+        # iteration — only res (per-iteration min cost) and the final
+        # iteration's winner are consumed by callers, so the scan body
+        # carries just the elite results forward.
         idx0, beta0, cost0 = _selection_qp(samples0)
-        samples1, carried1, best0 = _update_and_best(
-            samples0, idx0, beta0, cost0, B_all[0], Z_all[0])
+        s1, oh0, elc1 = _update_samples(samples0, cost0, B_all[0], Z_all[0])
+        fdt = s1.dtype
+        el_idx1 = jnp.einsum("ces,csk->cek", oh0,
+                             idx0.astype(fdt)).astype(idx0.dtype)
+        el_beta1 = jnp.einsum("ces,csk->cek", oh0, beta0)
+        min0 = jnp.min(cost0, axis=1)
 
-        def iteration(carry, uz):
-            samples, (el_idx, el_beta, el_cost) = carry
-            B_t, Z_t = uz
-            idx_f, beta_f, cost_f = _selection_qp(samples[:, n_el:])
-            idx_top = jnp.concatenate((el_idx, idx_f), axis=1)
-            beta_opt = jnp.concatenate((el_beta, beta_f), axis=1)
-            cost = jnp.concatenate((el_cost, cost_f), axis=1)
-            new_samples, carried, best = _update_and_best(
-                samples, idx_top, beta_opt, cost, B_t, Z_t)
-            return (new_samples, carried), best
+        if b.maxiter == 1:
+            beta_w, sigma_w, idx_best = _winner(idx0, beta0, cost0, s1)
+            mins = min0[None]
+        else:
+            def iteration(carry, uz):
+                samples, (el_idx, el_beta, el_cost) = carry
+                B_t, Z_t = uz
+                idx_f, beta_f, cost_f = _selection_qp(samples[:, n_el:])
+                cost = jnp.concatenate((el_cost, cost_f), axis=1)
+                new_samples, oh, el_cost2 = _update_samples(
+                    samples, cost, B_t, Z_t)
+                # split one-hot extraction over the (carried | fresh) row
+                # blocks — avoids materializing the concatenated (C, S, k)
+                # beta/idx tensors inside the scan
+                oh_e, oh_f = oh[:, :, :n_el], oh[:, :, n_el:]
+                el_beta2 = (jnp.einsum("ces,csk->cek", oh_e, el_beta)
+                            + jnp.einsum("ces,csk->cek", oh_f, beta_f))
+                el_idx2 = (jnp.einsum("ces,csk->cek", oh_e,
+                                      el_idx.astype(fdt))
+                           + jnp.einsum("ces,csk->cek", oh_f,
+                                        idx_f.astype(fdt))
+                           ).astype(el_idx.dtype)
+                return ((new_samples, (el_idx2, el_beta2, el_cost2)),
+                        jnp.min(cost, axis=1))
 
-        _, (betas, sigmas, idxs, mins) = lax.scan(
-            iteration, (samples1, carried1), (B_all[1:], Z_all[1:]))
-        betas = jnp.concatenate((best0[0][None], betas))
-        sigmas = jnp.concatenate((best0[1][None], sigmas))
-        idxs = jnp.concatenate((best0[2][None], idxs))
-        mins = jnp.concatenate((best0[3][None], mins))
+            (s_f, (el_idx_f, el_beta_f, el_cost_f)), mins_mid = lax.scan(
+                iteration, (s1, (el_idx1, el_beta1, elc1)),
+                (B_all[1:-1], Z_all[1:-1]))
+
+            # final iteration: full concat once, winner extraction once
+            idx_l, beta_l, cost_l = _selection_qp(s_f[:, n_el:])
+            idx_top = jnp.concatenate((el_idx_f, idx_l), axis=1)
+            beta_opt = jnp.concatenate((el_beta_f, beta_l), axis=1)
+            cost = jnp.concatenate((el_cost_f, cost_l), axis=1)
+            s_last, _, _ = _update_samples(s_f, cost, B_all[-1], Z_all[-1])
+            beta_w, sigma_w, idx_best = _winner(idx_top, beta_opt, cost,
+                                                s_last)
+            mins = jnp.concatenate(
+                (min0[None], mins_mid, jnp.min(cost, axis=1)[None]))
+
+        x_red = jnp.take_along_axis(x_roll, idx_best[:, :, None], axis=1)
+        y_red = jnp.take_along_axis(y_roll, idx_best[:, :, None], axis=1)
+        return ReducedSet(beta=beta_w, sigma=sigma_w, x_red=x_red,
+                          y_red=y_red, res=jnp.moveaxis(mins, 0, 1))
     else:
         def iteration(samples, uz):
             B_t, Z_t = uz

@@ -216,7 +216,7 @@ def test_g_selection_matches_xla_selection(rng):
     np.testing.assert_array_equal(np.asarray(ref.y_red), np.asarray(got.y_red))
 
 
-@pytest.mark.parametrize("maxiter", [1, 4])
+@pytest.mark.parametrize("maxiter", [1, 2, 4])
 def test_elite_carry_matches_full_recompute(rng, monkeypatch, maxiter):
     """Carrying the elite rows' selection/QP results across inner-CEM
     iterations matches recomputing them: new_samples rows 0..n_el-1 ARE
