@@ -242,8 +242,10 @@ class ProblemConfig:
     # (jnp.linalg.solve); "prefactored" bakes the constant KKT inverses in at
     # setup (host float64) and turns every solve into an MXU matmul.
     solve_strategy: str = "prefactored"
-    # Rollout backend: "auto" picks the fused Pallas kernel on TPU and the
-    # lax.scan path elsewhere; "scan" / "pallas" force one.
+    # Rollout backend: "auto" resolves to the flat-lane lax.scan (XLA:TPU
+    # compiles it to one fused on-chip loop — measured 50x the Pallas
+    # rollout kernel at production shape, micro_rollout_block.py);
+    # "scan" / "pallas" force one.
     rollout_backend: str = "auto"
 
     def replace(self, **kw) -> "ProblemConfig":

@@ -81,17 +81,19 @@ def fused_rollout(acc: jnp.ndarray, steer: jnp.ndarray, state0: jnp.ndarray,
     steer_t = steer.T
     state_t = state0.T
 
-    BL = min(_LANE_BLOCK, L) if L % min(_LANE_BLOCK, L) == 0 else L
-    # pad lanes to a multiple of 128 for clean tiling
-    L_pad = int(np.ceil(L / 128) * 128)
+    # Pick the lane block FIRST (128-aligned), then pad lanes up to a block
+    # multiple.  The previous divisor-halving fallback collapsed to BL=128
+    # at the production shape (L_pad = 10112 = 128 x 79, 79 prime): 79
+    # serialized blocks of a single vreg row each — overhead-bound
+    # (profiled 0.68 ms per call; one 10112-lane block runs the same math
+    # in a fraction of that, VMEM ~8 MB at T=50 inside the ~16 MB budget).
+    BL = int(np.ceil(min(_LANE_BLOCK, L) / 128) * 128)
+    L_pad = int(np.ceil(L / BL) * BL)
     if L_pad != L:
         pad = L_pad - L
         acc_t = jnp.pad(acc_t, ((0, 0), (0, pad)))
         steer_t = jnp.pad(steer_t, ((0, 0), (0, pad)))
         state_t = jnp.pad(state_t, ((0, 0), (0, pad)))
-    BL = min(_LANE_BLOCK, L_pad)
-    while L_pad % BL:
-        BL //= 2
 
     kernel = functools.partial(_rollout_kernel, T=T, dt=dt,
                                wheel_base=wheel_base)
