@@ -66,6 +66,23 @@ def _gather(tree, idx):
     return jax.tree_util.tree_map(lambda a: a[idx], tree)
 
 
+def with_matmul_precision(fn, precision: str):
+    """Trace ``fn`` under ``jax.default_matmul_precision(precision)``.
+
+    Precision is a trace-time property of each dot/einsum, so wrapping the
+    traced body (not the jit call site) pins it into the compiled program.
+    "default" returns ``fn`` unchanged (see ProblemConfig.matmul_precision).
+    """
+    if precision == "default":
+        return fn
+
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision(precision):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def resolve_rollout_backend(cfg: ProblemConfig) -> str:
     """"auto" resolves to the flat-lane XLA scan everywhere.
 
@@ -325,12 +342,15 @@ class Solver:
         Raise it on big-HBM parts (v5p) where the working set fits."""
         self.cfg = cfg
         self.ws = ws if ws is not None else build_workspace(cfg)
-        self._solve = jax.jit(partial(_solve, cfg, self.ws,
-                                      candidate_mesh=candidate_mesh))
+        solve_mesh = with_matmul_precision(
+            partial(_solve, cfg, self.ws, candidate_mesh=candidate_mesh),
+            cfg.matmul_precision)
+        self._solve = jax.jit(solve_mesh)
         if scenario_chunk is None:
             scenario_chunk = int(os.environ.get("MPC_MMD_SCENARIO_CHUNK", "1"))
         self.scenario_chunk = max(1, scenario_chunk)
-        solve_fn = partial(_solve, cfg, self.ws)
+        solve_fn = with_matmul_precision(partial(_solve, cfg, self.ws),
+                                         cfg.matmul_precision)
 
         def batch(seeds, init_state, mean_param, cov_param, xts, yts, v_des):
             return lax.map(

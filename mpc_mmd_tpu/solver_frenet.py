@@ -281,7 +281,9 @@ class FrenetSolver:
                 cfg.projection, with_obstacle_terms=True))
         self.cfg = cfg
         self.ws = ws if ws is not None else build_workspace(cfg)
-        self._solve = jax.jit(partial(_solve_frenet, cfg, self.ws))
+        from .solver import with_matmul_precision
+        self._solve = jax.jit(with_matmul_precision(
+            partial(_solve_frenet, cfg, self.ws), cfg.matmul_precision))
 
     def solve(self, idx_mpc, init_state_global, mean_param, cov_param,
               x_obs_traj, y_obs_traj, v_des, frame: FrenetFrame

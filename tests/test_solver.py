@@ -135,3 +135,16 @@ def test_dynamic_workload_beta_noise_solve():
     assert np.all(np.isfinite(np.asarray(r.cx)))
     assert np.all(np.isfinite(np.asarray(r.cy)))
     assert np.isfinite(float(r.risk_obs))
+
+
+def test_matmul_precision_knob():
+    """cfg.matmul_precision="highest" pins f32 contractions at trace time
+    (on TPU "default" runs them as single-pass bf16 — see ProblemConfig).
+    On CPU both trace to the same f32 program, so results match exactly."""
+    s1 = Solver(tiny_cfg("cvar"))
+    xt, yt = scenario(s1.ws)
+    r1 = s1.solve(11, INIT, MEAN, COV, xt, yt, 15.0)
+    cfg_hi = tiny_cfg("cvar").replace(matmul_precision="highest")
+    r2 = Solver(cfg_hi).solve(11, INIT, MEAN, COV, xt, yt, 15.0)
+    np.testing.assert_array_equal(np.asarray(r1.cx), np.asarray(r2.cx))
+    np.testing.assert_array_equal(np.asarray(r1.res), np.asarray(r2.res))
