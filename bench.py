@@ -73,16 +73,22 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # ---- headline: single-stream solves/s, ONE compiled program ----------
+    # Timing fence: np.asarray VALUE FETCHES, not block_until_ready — the
+    # axon relay has been observed returning from block_until_ready before
+    # the compute landed (one glitched run read an absurd 2000+ solves/s).
+    # A device->host copy of the result bytes cannot complete early, and
+    # the chip executes its stream in order, so fetching the LAST output
+    # fences the whole loop.
     xt1, yt1 = scenarios(1)
     t0 = time.perf_counter()
     out = solver.solve(0, init_state, mean, cov, xt1[0], yt1[0], 15.0)
-    out.cx.block_until_ready()
+    np.asarray(out.cx)
     print(f"bench: warmup (compile or cache hit) {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
     t0 = time.perf_counter()
     for r in range(reps * 2):
         out = solver.solve(r + 1, init_state, mean, cov, xt1[0], yt1[0], 15.0)
-    out.cx.block_until_ready()
+    np.asarray(out.cx)
     solves_per_s = reps * 2 / (time.perf_counter() - t0)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -113,7 +119,7 @@ def main():
             t0 = time.perf_counter()
             r = solver.solve(100 + k, init_state, mean, cov, xt1[0], yt1[0],
                              15.0)
-            r.cx.block_until_ready()
+            np.asarray(r.cx)   # value-fetch fence (see headline loop)
             lat.append(time.perf_counter() - t0)
         print(json.dumps({
             "p50_solve_ms": round(1e3 * float(np.percentile(lat, 50)), 2),
@@ -133,12 +139,12 @@ def main():
             seeds = jnp.arange(S, dtype=jnp.int32)
             out = solver.solve_batch(seeds, init_state, mean, cov, xt, yt,
                                      15.0)
-            out.cx.block_until_ready()
+            np.asarray(out.cx)
             t0 = time.perf_counter()
             for r in range(reps):
                 out = solver.solve_batch(seeds + r * S, init_state, mean,
                                          cov, xt, yt, 15.0)
-            out.cx.block_until_ready()
+            np.asarray(out.cx)   # value-fetch fence (see headline loop)
             rate = S * reps / (time.perf_counter() - t0)
             print(f"bench: batch {S}: {rate:.3f} solves/s", file=sys.stderr)
             if rate > best:
