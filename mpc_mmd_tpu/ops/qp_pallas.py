@@ -81,21 +81,17 @@ def _qp_kernel(c_ref, r_ref, b_ref, mu_ref, *, n: int):
     mu_ref[0, :] = mu
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def eq_qp_solve_pallas(C: jnp.ndarray, r: jnp.ndarray,
-                       interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for :func:`mpc_mmd_tpu.linalg.eq_qp_solve` (C SPD).
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def eq_qp_solve_pallas_t(c_t: jnp.ndarray, r_t: jnp.ndarray, n: int,
+                         interpret: bool = False):
+    """Pre-transposed entry: solve B systems given lane-major operands.
 
-    C: (..., n, n); r: (..., n).  Returns (..., n).
+    c_t: (n*n, B) with row i*n+j = C[..., i, j]; r_t: (n, B).  Returns
+    (b_t (n, B), mu (B,)).  This is the kernel's native layout — producers
+    that can emit it directly (e.g. a transposed-output einsum) skip the
+    (B, n, n) -> (n*n, B) relayout that :func:`eq_qp_solve_pallas` pays.
     """
-    batch_shape = C.shape[:-2]
-    n = C.shape[-1]
-    B = int(np.prod(batch_shape)) if batch_shape else 1
-
-    # (n*n, B) / (n, B) lane-major layouts
-    c_t = C.reshape(B, n * n).T
-    r_t = r.reshape(B, n).T
-
+    B = c_t.shape[1]
     B_pad = int(np.ceil(B / 128) * 128)
     if B_pad != B:
         # identity-pad so the padded systems stay SPD
@@ -121,10 +117,28 @@ def eq_qp_solve_pallas(C: jnp.ndarray, r: jnp.ndarray,
             pl.BlockSpec((1, BB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, B_pad), C.dtype),
-            jax.ShapeDtypeStruct((1, B_pad), C.dtype),
+            jax.ShapeDtypeStruct((n, B_pad), c_t.dtype),
+            jax.ShapeDtypeStruct((1, B_pad), c_t.dtype),
         ],
         interpret=interpret,
     )(c_t, r_t)
-    return (b_t[:, :B].T.reshape(batch_shape + (n,)),
-            mu_t[0, :B].reshape(batch_shape))
+    return b_t[:, :B], mu_t[0, :B]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def eq_qp_solve_pallas(C: jnp.ndarray, r: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for :func:`mpc_mmd_tpu.linalg.eq_qp_solve` (C SPD).
+
+    C: (..., n, n); r: (..., n).  Returns (..., n).
+    """
+    batch_shape = C.shape[:-2]
+    n = C.shape[-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+
+    # (n*n, B) / (n, B) lane-major layouts
+    c_t = C.reshape(B, n * n).T
+    r_t = r.reshape(B, n).T
+    b_t, mu = eq_qp_solve_pallas_t(c_t, r_t, n, interpret=interpret)
+    return (b_t.T.reshape(batch_shape + (n,)),
+            mu.reshape(batch_shape))
