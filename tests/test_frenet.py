@@ -106,13 +106,150 @@ def test_spline_and_window():
     assert abs(arc - 300.0) < 5.0
 
 
-def test_matches_reference_frenet_conversion():
-    """Cross-check the state conversion against the reference helper."""
-    sys.path.insert(0, "/root/reference/carla")
+# ---------------------------------------------------------------------------
+# Direct parity vs the reference CARLA optimizer helper.  The reference's
+# carla/optimizer modules are pure JAX (the carla binary is only touched by
+# main_carla.py / carla_simulation.py), so the Frenet toolkit can be compared
+# function by function.  The module names (cem, cem_helper, compute_beta, ...)
+# clash with the synthetic_static_obs copies that test_parity.py imports, so
+# the import juggles sys.modules explicitly.
+
+_CARLA_CLASH = ("cem", "cem_helper", "compute_beta", "kernel_computation",
+                "bernstein_coeff_order10_arbitinterval", "projection",
+                "projection_det", "costs")
+_carla_helper_cache = []
+
+
+def _carla_helper():
+    if _carla_helper_cache:
+        return _carla_helper_cache[0]
+    saved_path = list(sys.path)
+    saved_mods = {k: sys.modules.pop(k, None) for k in _CARLA_CLASH}
     sys.path.insert(0, "/root/reference/carla/optimizer")
+    sys.path.insert(0, "/root/reference/carla")
     try:
         import cem as carla_cem
-    except Exception:
-        pytest.skip("carla reference deps not importable")
-    pytest.skip("carla reference requires the carla package; "
-                "conversion is validated by the roundtrip/analytic tests")
+        prob = carla_cem.CEM(2, 1, 2, 0.1, 20, "gaussian", "Town10HD",
+                             0.0, 0.0)
+        helper = prob.cem_helper
+    except Exception as e:  # pragma: no cover - reference tree absent
+        helper = None
+        pytest.skip(f"carla reference not importable: {type(e).__name__}")
+    finally:
+        sys.path[:] = saved_path
+        for k in _CARLA_CLASH:
+            sys.modules.pop(k, None)
+        for k, v in saved_mods.items():
+            if v is not None:
+                sys.modules[k] = v
+    _carla_helper_cache.append(helper)
+    return helper
+
+
+def _curvy_path(n=600):
+    t = np.linspace(0.0, 1.0, n)
+    x = 300.0 * t
+    y = 8.0 * np.sin(2.0 * np.pi * t) + 2.0 * t * t * 10.0
+    return jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+
+
+def test_path_parameters_matches_reference():
+    h = _carla_helper()
+    x, y = _curvy_path()
+    ref = h.compute_path_parameters(x, y)
+    (Fx_dot, Fy_dot, _, _, arc_vec, kappa, arc_length) = ref
+    frame = path_parameters(x, y)
+    np.testing.assert_allclose(np.asarray(frame.Fx_dot), np.asarray(Fx_dot),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(frame.Fy_dot), np.asarray(Fy_dot),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(frame.arc_vec), np.asarray(arc_vec),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(frame.kappa), np.asarray(kappa),
+                               rtol=1e-4, atol=1e-6)
+    assert abs(float(frame.arc_length) - float(arc_length)) < 1e-3
+
+
+def test_global_to_frenet_state_matches_reference():
+    h = _carla_helper()
+    x, y = _curvy_path()
+    frame = path_parameters(x, y)
+    state = jnp.asarray([150.2, 15.0, 6.0, 0.8, 0.45, 0.02], jnp.float32)
+    ref = h.global_to_frenet(x, y, state, frame.arc_vec, frame.Fx_dot,
+                             frame.Fy_dot, frame.kappa)
+    got = global_to_frenet_state(frame, state)
+    # orders match: (s, l, vs, vl, as, al, psi_rel, psi_fin, psidot)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_global_to_frenet_obstacle_matches_reference():
+    h = _carla_helper()
+    x, y = _curvy_path()
+    frame = path_parameters(x, y)
+    args = (jnp.float32(120.0), jnp.float32(10.0), jnp.float32(3.0),
+            jnp.float32(0.5), jnp.float32(0.3))
+    ref = h.global_to_frenet_obs(*args, x, y, frame.arc_vec, frame.Fx_dot,
+                                 frame.Fy_dot, frame.kappa)
+    got = global_to_frenet_obstacle(frame, *args)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_frenet_to_global_matches_reference():
+    h = _carla_helper()
+    x, y = _curvy_path()
+    frame = path_parameters(x, y)
+    s = jnp.asarray(np.linspace(20.0, 250.0, 30), jnp.float32)
+    l = jnp.asarray(np.sin(np.linspace(0, 3, 30)) * 2.0, jnp.float32)
+    # the reference interpolates the path refs at s first (main_carla.py:384-392)
+    ref_x = jnp.interp(s, frame.arc_vec, frame.x_path)
+    ref_y = jnp.interp(s, frame.arc_vec, frame.y_path)
+    dx = jnp.interp(s, frame.arc_vec, frame.Fx_dot)
+    dy = jnp.interp(s, frame.arc_vec, frame.Fy_dot)
+    gx_r, gy_r, psi_r = h.frenet_to_global(l, ref_x, ref_y, dx, dy)
+    gx, gy, psi = frenet_to_global(frame, s, l)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_r),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(psi), np.asarray(psi_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pointwise_conversion_matches_reference_scan():
+    """Our one batched nearest-point reduction vs the reference's
+    per-point lax.scan (cem_helper.py:206-242) — same values."""
+    h = _carla_helper()
+    x, y = _curvy_path()
+    frame = path_parameters(x, y)
+    rng = np.random.default_rng(0)
+    # num_prime=20 rollout points near the path (the helper's static shape)
+    xs = jnp.asarray(rng.uniform(20, 250, (3, 20)), jnp.float32)
+    ys = jnp.asarray(np.interp(np.asarray(xs).ravel(), np.asarray(x),
+                               np.asarray(y)).reshape(3, 20)
+                     + rng.normal(0, 1.5, (3, 20)), jnp.float32)
+    sg_r, lg_r = h.global_to_frenet_trajs(xs, ys, x, y, frame.arc_vec,
+                                          frame.Fx_dot, frame.Fy_dot)
+    sg, lg = global_to_frenet_points(frame, xs, ys)
+    np.testing.assert_allclose(np.asarray(sg), np.asarray(sg_r),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(lg_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_path_smoothing_matches_reference():
+    h = _carla_helper()
+    x, y = _curvy_path()
+    rng = np.random.default_rng(1)
+    xw = x + jnp.asarray(rng.normal(0, 0.05, 600), jnp.float32)
+    yw = y + jnp.asarray(rng.normal(0, 0.05, 600), jnp.float32)
+    xs_r, ys_r = h.custom_path_smoothing(xw, yw, 0.1)
+    sw = build_smoother(num_path=600)
+    xs, ys = smooth_path(sw, xw, yw, threshold=0.1)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_r),
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_r),
+                               rtol=1e-4, atol=2e-3)
