@@ -117,23 +117,24 @@ def test_spline_and_window():
 _CARLA_CLASH = ("cem", "cem_helper", "compute_beta", "kernel_computation",
                 "bernstein_coeff_order10_arbitinterval", "projection",
                 "projection_det", "costs")
-_carla_helper_cache = []
+_carla_prob_cache = {}
 
 
-def _carla_helper():
-    if _carla_helper_cache:
-        return _carla_helper_cache[0]
+def _carla_prob(num_reduced_sqrt=2, num_obs=2, noise_level=0.1,
+                num_prime=20):
+    args = (num_reduced_sqrt, num_obs, noise_level, num_prime)
+    if args in _carla_prob_cache:
+        return _carla_prob_cache[args]
     saved_path = list(sys.path)
     saved_mods = {k: sys.modules.pop(k, None) for k in _CARLA_CLASH}
     sys.path.insert(0, "/root/reference/carla/optimizer")
     sys.path.insert(0, "/root/reference/carla")
     try:
         import cem as carla_cem
-        prob = carla_cem.CEM(2, 1, 2, 0.1, 20, "gaussian", "Town10HD",
-                             0.0, 0.0)
-        helper = prob.cem_helper
+        prob = carla_cem.CEM(num_reduced_sqrt, 1, num_obs, noise_level,
+                             num_prime, "gaussian", "Town10HD", 0.0, 0.0)
     except Exception as e:  # pragma: no cover - reference tree absent
-        helper = None
+        prob = None
         pytest.skip(f"carla reference not importable: {type(e).__name__}")
     finally:
         sys.path[:] = saved_path
@@ -142,8 +143,12 @@ def _carla_helper():
         for k, v in saved_mods.items():
             if v is not None:
                 sys.modules[k] = v
-    _carla_helper_cache.append(helper)
-    return helper
+    _carla_prob_cache[args] = prob
+    return prob
+
+
+def _carla_helper():
+    return _carla_prob().cem_helper
 
 
 def _curvy_path(n=600):
@@ -253,3 +258,130 @@ def test_path_smoothing_matches_reference():
                                rtol=1e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_r),
                                rtol=1e-4, atol=2e-3)
+
+
+def test_frenet_cvar_single_iteration_control_parity():
+    """Full Frenet-solver parity vs the reference CARLA optimizer: ONE CEM
+    iteration of compute_cem_cvar (carla/optimizer/cem.py:444-632) against
+    FrenetSolver(mode="cvar") in exact mode — same path, obstacles, noisy
+    init ensemble, RNG chain.  Coefficients within 1e-3 (BASELINE.json
+    tolerance class, like the static-mode control parity tests)."""
+    import dataclasses
+
+    import jax
+    from mpc_mmd_tpu.config import onroad_workload
+    from mpc_mmd_tpu.solver_frenet import FrenetSolver
+
+    R, n_obs, T = 4, 2, 50
+    prob = _carla_prob(num_reduced_sqrt=R, num_obs=n_obs, num_prime=T)
+    prob.maxiter_cem = 1
+
+    x, y = _curvy_path()
+    frame = path_parameters(x, y)
+    (Fx_dot, Fy_dot, _, _, arc_vec, kappa, _) = \
+        prob.cem_helper.compute_path_parameters(x, y)
+
+    # obstacles as constant-velocity FRENET trajectories (main_carla.py:375)
+    s_obs = np.array([60.0, 120.0])
+    l_obs = np.array([0.0, 3.5])
+    vs_obs = np.array([3.0, 2.0])
+    tot = np.asarray(prob.tot_time)
+    x_obs_traj = jnp.asarray((s_obs[None, :] + vs_obs[None, :] * tot[:, None]).T,
+                             jnp.float32)
+    y_obs_traj = jnp.asarray(np.tile(l_obs[:, None], (1, len(tot))),
+                             jnp.float32)
+
+    # ego near the path start, heading along the path
+    psi0 = float(np.arctan2(np.asarray(frame.Fy_dot)[60],
+                            np.asarray(frame.Fx_dot)[60]))
+    init_state = jnp.asarray([float(x[60]), float(y[60]) + 0.5, 5.0, 0.0,
+                              psi0, 0.0], jnp.float32)
+    mean0 = jnp.asarray([10.0] * 4 + [1.75] * 4, jnp.float32)
+    cov0 = jnp.asarray(np.diag([20.0] * 4 + [100.0] * 4), jnp.float32)
+
+    ref_cx, ref_cy, ref_v, ref_steer, ref_mean = prob.compute_cem_cvar(
+        3, init_state, mean0, cov0, x_obs_traj, y_obs_traj, 10.0,
+        x, y, arc_vec, Fx_dot, Fy_dot, kappa)
+
+    cfg = onroad_workload(num_reduced=R, num_obs=n_obs, noise="gaussian",
+                          noise_level=0.1, num_prime=T, mode="cvar")
+    cfg = cfg.replace(
+        solve_strategy="exact",
+        cem=dataclasses.replace(cfg.cem, maxiter_cem=1))
+    r = FrenetSolver(cfg).solve(3, init_state, mean0, cov0, x_obs_traj,
+                                y_obs_traj, 10.0, frame)
+
+    np.testing.assert_allclose(np.asarray(r.cx), np.asarray(ref_cx),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r.cy), np.asarray(ref_cy),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r.v_best), np.asarray(ref_v),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r.steering_best),
+                               np.asarray(ref_steer), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r.mean_param),
+                               np.asarray(ref_mean), rtol=1e-3, atol=1e-3)
+
+
+def test_frenet_mmd_single_iteration_control_parity():
+    """Same as the cvar test for the paper's flagship path: ONE iteration of
+    the reference compute_cem_mmd (carla/optimizer/cem.py:216-442) — mother
+    rollout ensembles from the noisy-init states, the inner reduced-set
+    beta-CEM, Frenet MMD risk — vs FrenetSolver(mode="mmd_opt"), exact mode."""
+    import dataclasses
+
+    from mpc_mmd_tpu.config import onroad_workload
+    from mpc_mmd_tpu.solver_frenet import FrenetSolver
+
+    R, n_obs, T = 3, 2, 20        # mother set = 9 rollouts: cheap on CPU
+    prob = _carla_prob(num_reduced_sqrt=R, num_obs=n_obs, num_prime=T)
+    prob.maxiter_cem = 1
+
+    x, y = _curvy_path()
+    frame = path_parameters(x, y)
+    (Fx_dot, Fy_dot, _, _, arc_vec, kappa, _) = \
+        prob.cem_helper.compute_path_parameters(x, y)
+
+    # BLOCKING obstacles (both lanes, inside the 3 s horizon): all-clear
+    # candidates tie at exactly -ker_wt MMD risk, and the top-20 risk cut
+    # then flips on last-ulp differences between implementations (the
+    # argsort-ties caveat, CLAUDE.md).  Distinct nonzero risks make the
+    # ranking — and hence the winner — implementation-independent.
+    s_obs = np.array([42.0, 48.0])
+    l_obs = np.array([0.5, 3.0])
+    vs_obs = np.array([1.0, 0.8])
+    tot = np.asarray(prob.tot_time)
+    x_obs_traj = jnp.asarray((s_obs[None, :] + vs_obs[None, :] * tot[:, None]).T,
+                             jnp.float32)
+    y_obs_traj = jnp.asarray(np.tile(l_obs[:, None], (1, len(tot))),
+                             jnp.float32)
+
+    psi0 = float(np.arctan2(np.asarray(frame.Fy_dot)[60],
+                            np.asarray(frame.Fx_dot)[60]))
+    init_state = jnp.asarray([float(x[60]), float(y[60]) + 0.5, 5.0, 0.0,
+                              psi0, 0.0], jnp.float32)
+    mean0 = jnp.asarray([10.0] * 4 + [1.75] * 4, jnp.float32)
+    cov0 = jnp.asarray(np.diag([20.0] * 4 + [100.0] * 4), jnp.float32)
+
+    ref_cx, ref_cy, ref_v, ref_steer, ref_mean = prob.compute_cem_mmd(
+        3, init_state, mean0, cov0, x_obs_traj, y_obs_traj, 10.0,
+        x, y, arc_vec, Fx_dot, Fy_dot, kappa)
+
+    cfg = onroad_workload(num_reduced=R, num_obs=n_obs, noise="gaussian",
+                          noise_level=0.1, num_prime=T, mode="mmd_opt")
+    cfg = cfg.replace(
+        solve_strategy="exact",
+        cem=dataclasses.replace(cfg.cem, maxiter_cem=1))
+    r = FrenetSolver(cfg).solve(3, init_state, mean0, cov0, x_obs_traj,
+                                y_obs_traj, 10.0, frame)
+
+    np.testing.assert_allclose(np.asarray(r.cx), np.asarray(ref_cx),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r.cy), np.asarray(ref_cy),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r.v_best), np.asarray(ref_v),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r.steering_best),
+                               np.asarray(ref_steer), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r.mean_param),
+                               np.asarray(ref_mean), rtol=1e-3, atol=1e-3)
