@@ -221,3 +221,36 @@ def test_mmd_opt_single_iteration_risk_parity():
     assert float(jnp.sum(r.beta)) == pytest.approx(1.0, abs=1e-3)
     np.testing.assert_allclose(np.asarray(r.res_beta), np.asarray(res_beta_r),
                                atol=0.05)
+
+
+def test_mmd_random_single_iteration_control_parity():
+    """mmd_random control match <= 1e-3 at num_prime=50 after one CEM
+    iteration (vs compute_cem_mmd_random, cem.py:335-462) — completes the
+    control-parity coverage of all four static risk modes."""
+    prob, xt, yt = _ref(4, 50, maxiter_cem=1)
+    solver = _mine(4, 50, "mmd_random", maxiter_cem=1)
+    cx_r, cy_r, _, _ = prob.compute_cem_mmd_random(42, INIT, MEAN, COV,
+                                                   xt, yt, 15.0)
+    r = solver.solve(42, INIT, MEAN, COV, jnp.asarray(xt), jnp.asarray(yt),
+                     15.0)
+    a_r, s_r = _controls(solver.ws, solver.cfg, jnp.asarray(cx_r),
+                         jnp.asarray(cy_r), 50)
+    a_m, s_m = _controls(solver.ws, solver.cfg, r.cx, r.cy, 50)
+    assert np.max(np.abs(a_r - a_m)) <= 1e-3
+    assert np.max(np.abs(s_r - s_m)) <= 1e-3
+
+
+def test_saa_single_iteration_control_parity():
+    """saa control match <= 1e-3 at num_prime=50 after one CEM iteration
+    (vs compute_cem_saa, cem.py:590-714)."""
+    prob, xt, yt = _ref(4, 50, maxiter_cem=1)
+    solver = _mine(4, 50, "saa", maxiter_cem=1)
+    cx_r, cy_r, _, _ = prob.compute_cem_saa(42, INIT, MEAN, COV, xt, yt,
+                                            15.0)
+    r = solver.solve(42, INIT, MEAN, COV, jnp.asarray(xt), jnp.asarray(yt),
+                     15.0)
+    a_r, s_r = _controls(solver.ws, solver.cfg, jnp.asarray(cx_r),
+                         jnp.asarray(cy_r), 50)
+    a_m, s_m = _controls(solver.ws, solver.cfg, r.cx, r.cy, 50)
+    assert np.max(np.abs(a_r - a_m)) <= 1e-3
+    assert np.max(np.abs(s_r - s_m)) <= 1e-3
