@@ -254,3 +254,68 @@ def test_saa_single_iteration_control_parity():
     a_m, s_m = _controls(solver.ws, solver.cfg, r.cx, r.cy, 50)
     assert np.max(np.abs(a_r - a_m)) <= 1e-3
     assert np.max(np.abs(s_r - s_m)) <= 1e-3
+
+
+def _ref_dynamic(num_reduced, num_prime, noise, noise_level,
+                 maxiter_cem=None):
+    """Load the synthetic_dynamic_obs reference CEM (module names clash
+    with the static copies imported above — juggle sys.modules)."""
+    clash = ("cem", "cem_helper", "compute_beta", "kernel_computation",
+             "bernstein_coeff_order10_arbitinterval", "projection",
+             "costs")
+    saved_path = list(sys.path)
+    saved_mods = {k: sys.modules.pop(k, None) for k in clash}
+    sys.path.insert(0, "/root/reference/synthetic_dynamic_obs/optimizer")
+    sys.path.insert(0, "/root/reference/synthetic_dynamic_obs")
+    try:
+        import cem as dyn_cem
+        prob = dyn_cem.CEM(num_reduced, 2, noise_level, num_prime, noise,
+                           0.0, 0.0)
+    finally:
+        sys.path[:] = saved_path
+        for k in clash:
+            sys.modules.pop(k, None)
+        for k, v in saved_mods.items():
+            if v is not None:
+                sys.modules[k] = v
+    if maxiter_cem is not None:
+        prob.maxiter_cem = maxiter_cem
+    return prob
+
+
+def test_dynamic_beta_mmd_single_iteration_control_parity():
+    """Dynamic-workload parity end to end: beta control noise with
+    K_steer=0.05 and the single-lane band (synthetic_dynamic_obs deltas,
+    cem.py:155 / cem_helper.py:24), mmd_opt mode, one CEM iteration,
+    MOVING obstacle trajectories.  Controls <= 1e-3 like the static tests.
+    Obstacles block the lane inside the horizon so MMD risks are distinct
+    (all-clear candidates tie at exactly -ker_wt and the risk cut would
+    flip on float dust — the argsort-ties caveat)."""
+    from mpc_mmd_tpu.config import dynamic_workload
+
+    R, T = 4, 50
+    prob = _ref_dynamic(R, T, "beta", 0.3, maxiter_cem=1)
+    init = jnp.asarray([0.0, -1.75, 5.0, 0.0, 0.0, 0.0])
+    # cut-in-style moving obstacles in the single lane ahead
+    tot = np.asarray(prob.tot_time)
+    x_obs_t = jnp.asarray(np.stack([15.0 + 3.0 * tot, 30.0 + 2.0 * tot]),
+                          jnp.float32)
+    y_obs_t = jnp.asarray(np.stack([-1.75 + 0.0 * tot,
+                                    -1.60 + 0.0 * tot]), jnp.float32)
+
+    out = prob.compute_cem_mmd_opt(42, init, MEAN, COV, x_obs_t, y_obs_t,
+                                   15.0)
+    cx_r, cy_r = out[0], out[1]
+
+    cfg = dynamic_workload(num_reduced=R, num_obs=2, noise="beta",
+                           noise_level=0.3, num_prime=T, mode="mmd_opt")
+    cfg = cfg.replace(solve_strategy="exact",
+                      cem=dataclasses.replace(cfg.cem, maxiter_cem=1))
+    solver = Solver(cfg)
+    r = solver.solve(42, init, MEAN, COV, x_obs_t, y_obs_t, 15.0)
+
+    a_r, s_r = _controls(solver.ws, solver.cfg, jnp.asarray(cx_r),
+                         jnp.asarray(cy_r), T)
+    a_m, s_m = _controls(solver.ws, solver.cfg, r.cx, r.cy, T)
+    assert np.max(np.abs(a_r - a_m)) <= 1e-3
+    assert np.max(np.abs(s_r - s_m)) <= 1e-3
