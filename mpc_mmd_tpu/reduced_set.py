@@ -359,10 +359,11 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
 
     key0, _ = jax.random.split(jax.random.PRNGKey(0))
     init_key, _ = jax.random.split(key0)
-    samples0 = jnp.sqrt(b.init_cov_scale) * jax.random.normal(
+    samples0_row = jnp.sqrt(b.init_cov_scale) * jax.random.normal(
         init_key, (S, M + 1))
-    samples0 = samples0.at[:, -1].set(jnp.clip(samples0[:, -1], b.sigma_clip))
-    samples0 = jnp.broadcast_to(samples0[None], (C, S, M + 1))
+    samples0_row = samples0_row.at[:, -1].set(
+        jnp.clip(samples0_row[:, -1], b.sigma_clip))
+    samples0 = jnp.broadcast_to(samples0_row[None], (C, S, M + 1))
 
     inv_sqrt = 1.0 / jnp.sqrt(n_el - 1.0)
     sqrt_jit = jnp.sqrt(b.cov_jitter)
@@ -548,7 +549,29 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         # iteration — only res (per-iteration min cost) and the final
         # iteration's winner are consumed by callers, so the scan body
         # carries just the elite results forward.
-        idx0, beta0, cost0 = _selection_qp(samples0)
+        # Iteration 0 is candidate-SHARED: samples0 is a broadcast of one
+        # (S, M+1) row batch, so the top-k and the one-hot are identical
+        # across candidates — compute them once and contract the shared
+        # (S, k, M) one-hot against every candidate's D (the einsums then
+        # read a 100x smaller one-hot operand).  Only the "xla" selection
+        # exploits this; g/fused fall back to the generic per-candidate
+        # path.
+        if selection == "xla":
+            sigma0 = samples0_row[:, -1]                     # (S,), clipped
+            idx0_1 = _topk(samples0_row[None], k, absolute=True,
+                           slice_to=M)[0]                    # (S, k)
+            onehot0 = (idx0_1[..., None]
+                       == jnp.arange(M)).astype(D.dtype)     # (S, k, M)
+            rows0 = jnp.einsum("skr,crm->cskm", onehot0, D)
+            K_mixed0 = jnp.exp(-rows0 / sigma0[None, :, None, None])
+            K_red0 = jnp.einsum("cskm,sjm->cskj", K_mixed0, onehot0)
+            row_sum0 = jnp.sum(K_mixed0, axis=-1)
+            beta0, cost0 = _beta_qp(K_red0, row_sum0, M, cfg)
+            cost0 = jnp.where(jnp.isnan(cost0), jnp.inf, cost0)
+            beta0 = jnp.where(jnp.isnan(beta0), 0.0, beta0)
+            idx0 = jnp.broadcast_to(idx0_1[None], (C, S, k))
+        else:
+            idx0, beta0, cost0 = _selection_qp(samples0)
         s1, oh0, elc1 = _update_samples(samples0, cost0, B_all[0], Z_all[0])
         fdt = s1.dtype
         el_idx1 = jnp.einsum("ces,csk->cek", oh0,
