@@ -45,9 +45,11 @@ if __name__ == "__main__":
     ref = bench("xla scan", jax.jit(rollout, static_argnums=(3, 4)))
     for blk in (512, 1024, 2048, 4096, 16384):
         rp._LANE_BLOCK = blk
+        # effective block after the kernel's 128-align + clamp-to-L rule
+        eff = int(np.ceil(min(blk, L) / 128) * 128)
         # new block size -> new jit cache entry needed
         fn = rp.fused_rollout.__wrapped__
-        got = bench(f"pallas block={blk}",
+        got = bench(f"pallas block={blk} (eff {eff})",
                     jax.jit(fn, static_argnames=("dt", "wheel_base",
                                                  "interpret")))
         err = float(np.max(np.abs(got - ref)))

@@ -466,84 +466,62 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         beta_opt = jnp.where(jnp.isnan(beta_opt), 0.0, beta_opt)
         return idx_top, beta_opt, cost
 
-    def _update_and_best(samples, idx_top, beta_opt, cost, B_t, Z_t):
+    # One-hot GATHER contractions must be value-exact: on TPU the default
+    # matmul precision runs f32 dots as single-pass bf16, which would round
+    # every gathered value (and the carried elite ROWS through the affine
+    # update's identity block) to ~2^-9 relative.  These are all tiny
+    # contractions (<= 1e7 MACs vs 1e9 for the selection einsums), so
+    # pinning them to f32 costs nothing measurable.
+    _exact = jax.lax.Precision.HIGHEST
+
+    def _update_samples(samples, cost, B_t, Z_t):
         # one-hot MXU gather: take_along_axis along the sample axis
         # scalarizes on TPU (same failure mode as the selection gathers)
         idx_el = _topk(-cost, n_el)                          # (C, n_el)
         onehot_el = (idx_el[..., None]
-                     == jnp.arange(S)).astype(samples.dtype)  # (C, n_el, S)
-        elites = jnp.einsum("ces,csm->cem", onehot_el, samples)
-        # the precomputed affine update (see B_all/Z_all above); the lane
-        # floor is identity on the elite rows (inductively clipped), so one
-        # fused maximum over the whole batch is exact.
+                     == jnp.arange(S)).astype(samples.dtype)
+        elites = jnp.einsum("ces,csm->cem", onehot_el, samples,
+                            precision=_exact)
+        # precomputed affine update (see B_all/Z_all above); the lane
+        # floor is identity on the elite rows (inductively clipped), so
+        # rows 0..n_el-1 of new_samples are the elites BIT-UNCHANGED.
         new_samples = jnp.maximum(
-            jnp.einsum("se,cem->csm", B_t, elites) + Z_t, lane_floor)
-
-        # elite-row selection/QP results, in elite-rank order (= rows
-        # 0..n_el-1 of new_samples): carried to the next iteration so the
-        # unchanged rows are not recomputed.  Cost via take_along_axis, NOT
-        # a one-hot einsum — 0 * inf from a non-selected poisoned sample
-        # would turn the carried cost into NaN (the gather is (C, n_el),
-        # tiny).  beta/idx are sanitized finite, so MXU one-hots are safe.
+            jnp.einsum("se,cem->csm", B_t, elites, precision=_exact) + Z_t,
+            lane_floor)
+        # elite cost via take_along_axis, NOT a one-hot einsum — 0 * inf
+        # from a non-selected poisoned sample would turn it into NaN (the
+        # gather is (C, n_el), tiny).
         el_cost = jnp.take_along_axis(cost, idx_el, axis=1)
-        el_beta = jnp.einsum("ces,csk->cek", onehot_el, beta_opt)
-        el_idx = jnp.einsum(
-            "ces,csk->cek", onehot_el,
-            idx_top.astype(samples.dtype)).astype(idx_top.dtype)
+        return new_samples, onehot_el, el_cost
 
+    def _winner(idx_top, beta_opt, cost, new_samples):
         i_min = jnp.argmin(cost, axis=1)                     # (C,)
-        # one-hot contractions for the winner row of each candidate (the
-        # dynamic per-candidate take_along_axis scalarizes on TPU)
-        oh_min = (i_min[:, None] == jnp.arange(S)).astype(samples.dtype)
-        best = (jnp.einsum("cs,csk->ck", oh_min, beta_opt),
-                jnp.einsum("cs,cs->c", oh_min, new_samples[..., -1]),
+        # one-hot contractions for the winner row of each candidate
+        # (per-candidate take_along_axis scalarizes on TPU)
+        oh_min = (i_min[:, None]
+                  == jnp.arange(S)).astype(new_samples.dtype)
+        return (jnp.einsum("cs,csk->ck", oh_min, beta_opt,
+                           precision=_exact),
+                jnp.einsum("cs,cs->c", oh_min, new_samples[..., -1],
+                           precision=_exact),
                 jnp.einsum("cs,csk->ck", oh_min,
-                           idx_top.astype(samples.dtype)).astype(idx_top.dtype),
-                jnp.min(cost, axis=1))
-        return new_samples, (el_idx, el_beta, el_cost), best
+                           idx_top.astype(new_samples.dtype),
+                           precision=_exact).astype(idx_top.dtype))
 
     # Elite-carry: new_samples rows 0..n_el-1 ARE the elites, bit-unchanged
-    # (B_t's top block is the identity and the lane floor is a no-op on
-    # inductively-clipped rows), and _selection_qp is a pure per-row
-    # function of (row, D) — so the elites' selection/QP outputs from this
-    # iteration are exactly what the next iteration would recompute for
-    # them.  Carry (idx_top, beta, cost) for the elite rows and run the
-    # heavy selection stage on only the S - n_el fresh rows (~11% of the
-    # dominant solve stage at the production shape).  The fused kernel
-    # path keeps full recompute (its row blocking assumes the full batch).
+    # (B_t's top block is the identity — exact thanks to the pinned gather
+    # precision above — and the lane floor is a no-op on inductively-clipped
+    # rows), and _selection_qp is a pure per-row function of (row, D) — so
+    # the elites' selection/QP outputs from this iteration are exactly what
+    # the next iteration would recompute for them.  Carry (idx_top, beta,
+    # cost) for the elite rows and run the heavy selection stage on only
+    # the S - n_el fresh rows (~11% of the dominant solve stage at the
+    # production shape).  The fused kernel path keeps full recompute (its
+    # row blocking assumes the full batch).
     elite_carry = (selection != "fused"
                    and os.environ.get("MPC_MMD_ELITE_CARRY", "1") != "0")
 
     if elite_carry:
-        def _update_samples(samples, cost, B_t, Z_t):
-            # one-hot MXU gather: take_along_axis along the sample axis
-            # scalarizes on TPU (same failure mode as the selection gathers)
-            idx_el = _topk(-cost, n_el)                      # (C, n_el)
-            onehot_el = (idx_el[..., None]
-                         == jnp.arange(S)).astype(samples.dtype)
-            elites = jnp.einsum("ces,csm->cem", onehot_el, samples)
-            # precomputed affine update (see B_all/Z_all above); the lane
-            # floor is identity on the elite rows (inductively clipped).
-            new_samples = jnp.maximum(
-                jnp.einsum("se,cem->csm", B_t, elites) + Z_t, lane_floor)
-            # carried elite cost via take_along_axis, NOT a one-hot einsum —
-            # 0 * inf from a non-selected poisoned sample would turn it
-            # into NaN (the gather is (C, n_el), tiny).
-            el_cost = jnp.take_along_axis(cost, idx_el, axis=1)
-            return new_samples, onehot_el, el_cost
-
-        def _winner(idx_top, beta_opt, cost, new_samples):
-            i_min = jnp.argmin(cost, axis=1)                 # (C,)
-            # one-hot contractions for the winner row of each candidate
-            # (per-candidate take_along_axis scalarizes on TPU)
-            oh_min = (i_min[:, None]
-                      == jnp.arange(S)).astype(new_samples.dtype)
-            return (jnp.einsum("cs,csk->ck", oh_min, beta_opt),
-                    jnp.einsum("cs,cs->c", oh_min, new_samples[..., -1]),
-                    jnp.einsum("cs,csk->ck", oh_min,
-                               idx_top.astype(new_samples.dtype)
-                               ).astype(idx_top.dtype))
-
         # iteration 0 peeled out of the scan (all rows fresh: full-batch
         # selection), and the winner extraction peeled off the LAST
         # iteration — only res (per-iteration min cost) and the final
@@ -574,9 +552,9 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
             idx0, beta0, cost0 = _selection_qp(samples0)
         s1, oh0, elc1 = _update_samples(samples0, cost0, B_all[0], Z_all[0])
         fdt = s1.dtype
-        el_idx1 = jnp.einsum("ces,csk->cek", oh0,
-                             idx0.astype(fdt)).astype(idx0.dtype)
-        el_beta1 = jnp.einsum("ces,csk->cek", oh0, beta0)
+        el_idx1 = jnp.einsum("ces,csk->cek", oh0, idx0.astype(fdt),
+                             precision=_exact).astype(idx0.dtype)
+        el_beta1 = jnp.einsum("ces,csk->cek", oh0, beta0, precision=_exact)
         min0 = jnp.min(cost0, axis=1)
 
         if b.maxiter == 1:
@@ -594,12 +572,14 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
                 # blocks — avoids materializing the concatenated (C, S, k)
                 # beta/idx tensors inside the scan
                 oh_e, oh_f = oh[:, :, :n_el], oh[:, :, n_el:]
-                el_beta2 = (jnp.einsum("ces,csk->cek", oh_e, el_beta)
-                            + jnp.einsum("ces,csk->cek", oh_f, beta_f))
+                el_beta2 = (jnp.einsum("ces,csk->cek", oh_e, el_beta,
+                                       precision=_exact)
+                            + jnp.einsum("ces,csk->cek", oh_f, beta_f,
+                                         precision=_exact))
                 el_idx2 = (jnp.einsum("ces,csk->cek", oh_e,
-                                      el_idx.astype(fdt))
+                                      el_idx.astype(fdt), precision=_exact)
                            + jnp.einsum("ces,csk->cek", oh_f,
-                                        idx_f.astype(fdt))
+                                        idx_f.astype(fdt), precision=_exact)
                            ).astype(el_idx.dtype)
                 return ((new_samples, (el_idx2, el_beta2, el_cost2)),
                         jnp.min(cost, axis=1))
@@ -624,12 +604,16 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         return ReducedSet(beta=beta_w, sigma=sigma_w, x_red=x_red,
                           y_red=y_red, res=jnp.moveaxis(mins, 0, 1))
     else:
+        # full-recompute fallback (fused selection / MPC_MMD_ELITE_CARRY=0):
+        # same helpers, winner extracted every iteration (no peel)
         def iteration(samples, uz):
             B_t, Z_t = uz
             idx_top, beta_opt, cost = _selection_qp(samples)
-            new_samples, _, best = _update_and_best(
-                samples, idx_top, beta_opt, cost, B_t, Z_t)
-            return new_samples, best
+            new_samples, _, _ = _update_samples(samples, cost, B_t, Z_t)
+            beta_w, sigma_w, idx_w = _winner(idx_top, beta_opt, cost,
+                                             new_samples)
+            return new_samples, (beta_w, sigma_w, idx_w,
+                                 jnp.min(cost, axis=1))
 
         _, (betas, sigmas, idxs, mins) = lax.scan(
             iteration, samples0, (B_all, Z_all))

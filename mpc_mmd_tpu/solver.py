@@ -143,6 +143,19 @@ def _candidate_spec(mesh):
 def _solve(cfg: ProblemConfig, ws: Workspace, idx_mpc, init_state,
            mean_param, cov_param, x_obs_traj, y_obs_traj, v_des,
            candidate_mesh=None) -> SolveResult:
+    """Trace-time wrapper: pins cfg.matmul_precision for the whole solve so
+    EVERY jit entry point (Solver, solve_batch, the sharded sweeps in
+    parallel/mesh.py, profile scripts) inherits it."""
+    fn = with_matmul_precision(
+        partial(_solve_body, cfg, ws, candidate_mesh=candidate_mesh),
+        cfg.matmul_precision)
+    return fn(idx_mpc, init_state, mean_param, cov_param, x_obs_traj,
+              y_obs_traj, v_des)
+
+
+def _solve_body(cfg: ProblemConfig, ws: Workspace, idx_mpc, init_state,
+                mean_param, cov_param, x_obs_traj, y_obs_traj, v_des,
+                candidate_mesh=None) -> SolveResult:
     mode = cfg.risk.mode
     nb = cfg.cem.num_batch
     n_cost = cfg.cem.ellite_num_cost
@@ -342,15 +355,13 @@ class Solver:
         Raise it on big-HBM parts (v5p) where the working set fits."""
         self.cfg = cfg
         self.ws = ws if ws is not None else build_workspace(cfg)
-        solve_mesh = with_matmul_precision(
-            partial(_solve, cfg, self.ws, candidate_mesh=candidate_mesh),
-            cfg.matmul_precision)
-        self._solve = jax.jit(solve_mesh)
+        # cfg.matmul_precision is applied inside _solve itself
+        self._solve = jax.jit(partial(_solve, cfg, self.ws,
+                                      candidate_mesh=candidate_mesh))
         if scenario_chunk is None:
             scenario_chunk = int(os.environ.get("MPC_MMD_SCENARIO_CHUNK", "1"))
         self.scenario_chunk = max(1, scenario_chunk)
-        solve_fn = with_matmul_precision(partial(_solve, cfg, self.ws),
-                                         cfg.matmul_precision)
+        solve_fn = partial(_solve, cfg, self.ws)
 
         def batch(seeds, init_state, mean_param, cov_param, xts, yts, v_des):
             return lax.map(

@@ -90,6 +90,19 @@ def _solve_frenet(cfg: ProblemConfig, ws: Workspace, idx_mpc,
                   init_state_global, mean_param, cov_param,
                   x_obs_traj, y_obs_traj, v_des,
                   frame: FrenetFrame) -> FrenetSolveResult:
+    """Trace-time wrapper pinning cfg.matmul_precision for every entry
+    point (FrenetSolver, sharded_frenet_sweep) — see solver._solve."""
+    from .solver import with_matmul_precision
+    fn = with_matmul_precision(partial(_solve_frenet_body, cfg, ws),
+                               cfg.matmul_precision)
+    return fn(idx_mpc, init_state_global, mean_param, cov_param,
+              x_obs_traj, y_obs_traj, v_des, frame)
+
+
+def _solve_frenet_body(cfg: ProblemConfig, ws: Workspace, idx_mpc,
+                       init_state_global, mean_param, cov_param,
+                       x_obs_traj, y_obs_traj, v_des,
+                       frame: FrenetFrame) -> FrenetSolveResult:
     mode = cfg.risk.mode
     nb = cfg.cem.num_batch
     n_cost = cfg.cem.ellite_num_cost
@@ -281,9 +294,8 @@ class FrenetSolver:
                 cfg.projection, with_obstacle_terms=True))
         self.cfg = cfg
         self.ws = ws if ws is not None else build_workspace(cfg)
-        from .solver import with_matmul_precision
-        self._solve = jax.jit(with_matmul_precision(
-            partial(_solve_frenet, cfg, self.ws), cfg.matmul_precision))
+        # cfg.matmul_precision is applied inside _solve_frenet itself
+        self._solve = jax.jit(partial(_solve_frenet, cfg, self.ws))
 
     def solve(self, idx_mpc, init_state_global, mean_param, cov_param,
               x_obs_traj, y_obs_traj, v_des, frame: FrenetFrame
