@@ -92,16 +92,18 @@ def eq_qp_solve_pallas_t(c_t: jnp.ndarray, r_t: jnp.ndarray, n: int,
     (B, n, n) -> (n*n, B) relayout that :func:`eq_qp_solve_pallas` pays.
     """
     B = c_t.shape[1]
-    B_pad = int(np.ceil(B / 128) * 128)
+    # Pick the lane block FIRST (128-aligned), then pad lanes up to a block
+    # multiple — the old divisor-halving fallback could collapse to BB=128
+    # on shapes whose padded size has a large prime factor (the same bug
+    # the rollout kernel had at production shape).
+    BB = int(np.ceil(min(_LANE_BLOCK, B) / 128) * 128)
+    B_pad = int(np.ceil(B / BB) * BB)
     if B_pad != B:
         # identity-pad so the padded systems stay SPD
         eye_flat = jnp.eye(n).reshape(n * n, 1)
         c_t = jnp.concatenate(
             (c_t, jnp.tile(eye_flat, (1, B_pad - B))), axis=1)
         r_t = jnp.concatenate((r_t, jnp.zeros((n, B_pad - B))), axis=1)
-    BB = min(_LANE_BLOCK, B_pad)
-    while B_pad % BB:
-        BB //= 2
 
     kernel = functools.partial(_qp_kernel, n=n)
     b_t, mu_t = pl.pallas_call(
