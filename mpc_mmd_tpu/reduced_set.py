@@ -105,6 +105,40 @@ def _beta_qp(K_red: jnp.ndarray, row_sum: jnp.ndarray, M: int,
     return beta, mmd
 
 
+def _beta_qp_t(K_red_t: jnp.ndarray, row_sum_t: jnp.ndarray, M: int,
+               cfg: ProblemConfig, interpret: bool = False):
+    """Lane-major variant of :func:`_beta_qp` (fast mode only).
+
+    K_red_t: (k, k, B) with K_red_t[i, j] = K_red[..., i, j];
+    row_sum_t: (k, B).  Returns (beta_t (k, B), mmd_cost (B,)).
+
+    This is the Pallas QP kernel's NATIVE layout: the (k*k, B) flatten is
+    free here, where the standard entry pays an 11 ms/solve relayout of the
+    (B, k, k)-ordered einsum output (whose two minor dims tile-pad 20x, see
+    benchmarks/PROFILE_NOTES.md "minor-dim tile padding").
+    """
+    b = cfg.beta_cem
+    k = K_red_t.shape[0]
+    B = K_red_t.shape[-1]
+    eye_flat = jnp.eye(k, dtype=K_red_t.dtype).reshape(k * k, 1)
+    cost_t = b.rho_beta * K_red_t.reshape(k * k, B) + b.qp_reg * eye_flat
+    r_t = (b.rho_beta / M) * row_sum_t
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu or interpret:
+        from .ops.qp_pallas import eq_qp_solve_pallas_t
+        beta_t, mu = eq_qp_solve_pallas_t(cost_t, r_t, k, interpret=interpret)
+    else:
+        C_b = jnp.moveaxis(cost_t.reshape(k, k, B), -1, 0)
+        beta_b, mu = eq_qp_solve(C_b, r_t.T)
+        beta_t = beta_b.T
+    br = jnp.sum(beta_t * r_t, axis=0)
+    mmd = (-br - mu - b.qp_reg * jnp.sum(beta_t * beta_t, axis=0)) / b.rho_beta
+    return beta_t, mmd
+
+
 def _topk_indices(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Indices of the k largest entries (descending), via k rounds of
     argmax + mask-out.
@@ -335,15 +369,28 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
     reduction commutes with the row gather), K_red from feature-space
     pairwise L1 — no (C, S, k, M) rows tensor at all.  Values match the
     einsum form up to sum reassociation (~1e-5 relative).  Opt in via
-    MPC_MMD_SELECTION=g.
+    MPC_MMD_SELECTION=g.  "xt" is the lane-major chain: same math as "xla"
+    but K_red is emitted straight into the QP kernel's native (k*k, C*S)
+    layout ("cskm,csjm->kjcs" — the big dims land on the tiled minor axes),
+    row_sum emitted transposed, and beta kept (k, C, S) through the whole
+    scan, so no (C,S,k,k) minor-dim-padded tensor is ever materialized and
+    no relayout precedes the QP (PROFILE_NOTES "minor-dim tile padding").
     """
     import os
     if selection is None:
         selection = os.environ.get("MPC_MMD_SELECTION") or (
             "fused" if use_fused_inner_cem(cfg) else "xla")
-    if selection not in ("xla", "fused", "g"):
+    if selection not in ("xla", "xt", "fused", "g"):
         raise ValueError(f"unknown selection {selection!r} "
-                         "(expected 'xla', 'fused' or 'g')")
+                         "(expected 'xla', 'xt', 'fused' or 'g')")
+    # "xt": the lane-major chain.  K_red is emitted directly in the QP
+    # kernel's (k, k, C*S) layout via a transposed-output einsum (the big
+    # C*S dims land on the tiled minor axes -> 1.5x padding instead of the
+    # (C,S,k,k) order's 20x), row_sum is emitted transposed, and beta stays
+    # (k, C, S) through the whole scan — so NO transpose ever touches a
+    # small-minor-dim layout (the failure mode of the earlier transposed-QP
+    # attempt, see benchmarks/PROFILE_NOTES.md).
+    lane_major = selection == "xt"
     if selection == "fused":
         from .ops.topk_kernel_pallas import topk_kernel_matrices
 
@@ -438,6 +485,22 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
                 jnp.abs(fsel[:, :, :, None, :] - fsel[:, :, None, :, :]),
                 axis=-1)                                     # (C, Ss, k, k)
             K_red = jnp.exp(-d_sub / sigma[..., None, None])
+        elif lane_major:
+            sigma = samples_sub[..., -1]                     # (C, Ss), clipped
+            Cc, Ss = sigma.shape
+            idx_top = _topk(samples_sub, k, absolute=True,
+                            slice_to=M)                      # (C, Ss, k)
+            onehot = (idx_top[..., None]
+                      == jnp.arange(M)).astype(D.dtype)      # (C, Ss, k, M)
+            rows = jnp.einsum("cskr,crm->cskm", onehot, D)
+            K_mixed = jnp.exp(-rows / sigma[..., None, None])
+            K_red_t = jnp.einsum("cskm,csjm->kjcs", K_mixed, onehot)
+            row_sum_t = jnp.einsum("cskm->kcs", K_mixed)
+            beta_t, cost = _beta_qp_t(K_red_t.reshape(k, k, Cc * Ss),
+                                      row_sum_t.reshape(k, Cc * Ss), M, cfg,
+                                      interpret=interpret)
+            beta_opt = beta_t.reshape(k, Cc, Ss)             # lane-major!
+            cost = cost.reshape(Cc, Ss)
         else:
             sigma = samples_sub[..., -1]                     # (C, Ss), clipped
             # NOTE: keep the one-hot as an XLA iota-compare — emitting it
@@ -453,7 +516,9 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
             K_mixed = jnp.exp(-rows / sigma[..., None, None])
             K_red = jnp.einsum("cskm,csjm->cskj", K_mixed, onehot)
             row_sum = jnp.sum(K_mixed, axis=-1)
-        beta_opt, cost = _beta_qp(K_red, row_sum, M, cfg)   # (C,Ss,k), (C,Ss)
+        if not lane_major:
+            beta_opt, cost = _beta_qp(K_red, row_sum, M, cfg)
+            #                                               (C,Ss,k), (C,Ss)
 
         # NaN costs -> +inf: keeps poisoned samples out of the elite set
         # (argsort-NaN-last semantics of the exact path)
@@ -500,8 +565,8 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         # (per-candidate take_along_axis scalarizes on TPU)
         oh_min = (i_min[:, None]
                   == jnp.arange(S)).astype(new_samples.dtype)
-        return (jnp.einsum("cs,csk->ck", oh_min, beta_opt,
-                           precision=_exact),
+        return (jnp.einsum("cs,kcs->ck" if lane_major else "cs,csk->ck",
+                           oh_min, beta_opt, precision=_exact),
                 jnp.einsum("cs,cs->c", oh_min, new_samples[..., -1],
                            precision=_exact),
                 jnp.einsum("cs,csk->ck", oh_min,
@@ -534,7 +599,7 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         # read a 100x smaller one-hot operand).  Only the "xla" selection
         # exploits this; g/fused fall back to the generic per-candidate
         # path.
-        if selection == "xla":
+        if selection in ("xla", "xt"):
             sigma0 = samples0_row[:, -1]                     # (S,), clipped
             idx0_1 = _topk(samples0_row[None], k, absolute=True,
                            slice_to=M)[0]                    # (S, k)
@@ -542,9 +607,18 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
                        == jnp.arange(M)).astype(D.dtype)     # (S, k, M)
             rows0 = jnp.einsum("skr,crm->cskm", onehot0, D)
             K_mixed0 = jnp.exp(-rows0 / sigma0[None, :, None, None])
-            K_red0 = jnp.einsum("cskm,sjm->cskj", K_mixed0, onehot0)
-            row_sum0 = jnp.sum(K_mixed0, axis=-1)
-            beta0, cost0 = _beta_qp(K_red0, row_sum0, M, cfg)
+            if lane_major:
+                K_red0_t = jnp.einsum("cskm,sjm->kjcs", K_mixed0, onehot0)
+                row_sum0_t = jnp.einsum("cskm->kcs", K_mixed0)
+                beta0_t, cost0 = _beta_qp_t(
+                    K_red0_t.reshape(k, k, C * S),
+                    row_sum0_t.reshape(k, C * S), M, cfg, interpret=interpret)
+                beta0 = beta0_t.reshape(k, C, S)
+                cost0 = cost0.reshape(C, S)
+            else:
+                K_red0 = jnp.einsum("cskm,sjm->cskj", K_mixed0, onehot0)
+                row_sum0 = jnp.sum(K_mixed0, axis=-1)
+                beta0, cost0 = _beta_qp(K_red0, row_sum0, M, cfg)
             cost0 = jnp.where(jnp.isnan(cost0), jnp.inf, cost0)
             beta0 = jnp.where(jnp.isnan(beta0), 0.0, beta0)
             idx0 = jnp.broadcast_to(idx0_1[None], (C, S, k))
@@ -554,7 +628,8 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
         fdt = s1.dtype
         el_idx1 = jnp.einsum("ces,csk->cek", oh0, idx0.astype(fdt),
                              precision=_exact).astype(idx0.dtype)
-        el_beta1 = jnp.einsum("ces,csk->cek", oh0, beta0, precision=_exact)
+        _bsum = "ces,kcs->kce" if lane_major else "ces,csk->cek"
+        el_beta1 = jnp.einsum(_bsum, oh0, beta0, precision=_exact)
         min0 = jnp.min(cost0, axis=1)
 
         if b.maxiter == 1:
@@ -572,9 +647,9 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
                 # blocks — avoids materializing the concatenated (C, S, k)
                 # beta/idx tensors inside the scan
                 oh_e, oh_f = oh[:, :, :n_el], oh[:, :, n_el:]
-                el_beta2 = (jnp.einsum("ces,csk->cek", oh_e, el_beta,
+                el_beta2 = (jnp.einsum(_bsum, oh_e, el_beta,
                                        precision=_exact)
-                            + jnp.einsum("ces,csk->cek", oh_f, beta_f,
+                            + jnp.einsum(_bsum, oh_f, beta_f,
                                          precision=_exact))
                 el_idx2 = (jnp.einsum("ces,csk->cek", oh_e,
                                       el_idx.astype(fdt), precision=_exact)
@@ -591,7 +666,9 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
             # final iteration: full concat once, winner extraction once
             idx_l, beta_l, cost_l = _selection_qp(s_f[:, n_el:])
             idx_top = jnp.concatenate((el_idx_f, idx_l), axis=1)
-            beta_opt = jnp.concatenate((el_beta_f, beta_l), axis=1)
+            # lane-major beta blocks are (k, C, rows): concat on the row axis
+            beta_opt = jnp.concatenate((el_beta_f, beta_l),
+                                       axis=-1 if lane_major else 1)
             cost = jnp.concatenate((el_cost_f, cost_l), axis=1)
             s_last, _, _ = _update_samples(s_f, cost, B_all[-1], Z_all[-1])
             beta_w, sigma_w, idx_best = _winner(idx_top, beta_opt, cost,
