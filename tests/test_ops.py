@@ -252,3 +252,61 @@ def test_elite_carry_matches_full_recompute(rng, monkeypatch, maxiter):
                                   np.asarray(got.x_red))
     np.testing.assert_array_equal(np.asarray(ref.y_red),
                                   np.asarray(got.y_red))
+
+
+@pytest.mark.parametrize("maxiter,carry", [(1, "1"), (2, "1"), (4, "1"),
+                                           (4, "0")])
+def test_xt_selection_matches_xla_selection(rng, monkeypatch, maxiter, carry):
+    """The lane-major chain ("xt") equals the standard one-hot form.
+
+    "xt" emits K_red straight into the QP kernel's (k*k, C*S) lane-major
+    layout and keeps beta (k, C, S) through the scan — same math, different
+    layouts — so float outputs agree to rounding (sum reassociation across
+    the transposed einsums) and index-derived outputs are bit-identical."""
+    cfg = static_workload(num_reduced=3, num_obs=2, num_prime=15,
+                          mode="mmd_opt")
+    cfg = cfg.replace(
+        beta_cem=dataclasses.replace(cfg.beta_cem, maxiter=maxiter))
+    M = cfg.risk.num_mother
+    Cn, nvar, T = 3, 11, 20
+    cx = jnp.asarray(rng.normal(0, 1, (Cn, M, nvar)), jnp.float32)
+    cy = jnp.asarray(rng.normal(0, 1, (Cn, M, nvar)), jnp.float32)
+    xr = jnp.asarray(rng.normal(0, 1, (Cn, M, T)), jnp.float32)
+    yr = jnp.asarray(rng.normal(0, 1, (Cn, M, T)), jnp.float32)
+
+    monkeypatch.setenv("MPC_MMD_ELITE_CARRY", carry)
+    ref = select_reduced_set_batched(cfg, cx, cy, xr, yr, selection="xla")
+    got = select_reduced_set_batched(cfg, cx, cy, xr, yr, selection="xt")
+
+    np.testing.assert_allclose(np.asarray(ref.res), np.asarray(got.res),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.beta), np.asarray(got.beta),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.sigma), np.asarray(got.sigma),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.x_red), np.asarray(got.x_red))
+    np.testing.assert_array_equal(np.asarray(ref.y_red), np.asarray(got.y_red))
+
+
+def test_xt_selection_interpret_qp_kernel(rng):
+    """"xt" through the Pallas transposed-QP entry (interpret mode) matches
+    the plain-CPU fallback path."""
+    cfg = static_workload(num_reduced=3, num_obs=2, num_prime=15,
+                          mode="mmd_opt")
+    cfg = cfg.replace(
+        beta_cem=dataclasses.replace(cfg.beta_cem, maxiter=2))
+    M = cfg.risk.num_mother
+    Cn, nvar, T = 2, 11, 20
+    cx = jnp.asarray(rng.normal(0, 1, (Cn, M, nvar)), jnp.float32)
+    cy = jnp.asarray(rng.normal(0, 1, (Cn, M, nvar)), jnp.float32)
+    xr = jnp.asarray(rng.normal(0, 1, (Cn, M, T)), jnp.float32)
+    yr = jnp.asarray(rng.normal(0, 1, (Cn, M, T)), jnp.float32)
+
+    ref = select_reduced_set_batched(cfg, cx, cy, xr, yr, selection="xt")
+    got = select_reduced_set_batched(cfg, cx, cy, xr, yr, selection="xt",
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(ref.res), np.asarray(got.res),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.beta), np.asarray(got.beta),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref.x_red), np.asarray(got.x_red))
