@@ -46,7 +46,17 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
               acc_const_noise: float = 0.0, steer_const_noise: float = 0.0,
               logger: MetricLogger | None = None,
               heartbeat_every: int = 0,
-              heartbeat_timeout_s: float = 30.0) -> ResultStore:
+              heartbeat_timeout_s: float = 30.0,
+              dispatch: str | None = None) -> ResultStore:
+    """dispatch: "pipeline" (default; per-scenario async dispatch, measured
+    ~17% faster on v5e-lite) or "batch" (one solve_batch program per chunk —
+    the form the sharded mesh sweeps use).  Env override:
+    MPC_MMD_SWEEP_DISPATCH."""
+    import os
+    if dispatch is None:
+        dispatch = os.environ.get("MPC_MMD_SWEEP_DISPATCH", "pipeline")
+    if dispatch not in ("pipeline", "batch"):
+        raise ValueError(f"unknown dispatch {dispatch!r}")
     logger = logger or MetricLogger()
     make = static_workload if workload == "static" else dynamic_workload
     cfg = make(num_reduced=num_reduced, num_obs=num_obs, noise=noise,
@@ -93,14 +103,38 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         lo, hi = cid * chunk, min((cid + 1) * chunk, num_configs)
         sl = slice(lo, hi)
         with phase_timer(logger, "solve_chunk", chunk=cid, size=hi - lo):
-            res = solver.solve_batch(
-                jnp.asarray(seeds_all[sl], jnp.int32), init_state, mean, cov,
-                batch.x_traj[sl], batch.y_traj[sl], v_des)
-        risk = np.asarray(res.risk_obs)
+            if dispatch == "pipeline":
+                # Per-scenario async dispatch: every jitted solve call
+                # enqueues immediately and the device pipelines them; the
+                # np.asarray fetches below fence the chunk.  Measured 6.12
+                # solves/s vs 5.23 for the in-program lax.map chunk (batch 8,
+                # v5e-lite) — the map body serializes strictly, while async
+                # dispatch overlaps each solve's tail with the next one's
+                # head (benchmarks/PROFILE_NOTES.md "scenario batching").
+                outs = [solver.solve(int(seeds_all[i]), init_state, mean,
+                                     cov, batch.x_traj[i], batch.y_traj[i],
+                                     v_des)
+                        for i in range(lo, hi)]
+                # stack on DEVICE (still async), then ONE host fetch per
+                # consumed field — fetching each solve's fields individually
+                # costs a relay round trip per buffer (~30-40 ms each through
+                # the axon tunnel, measured 8x slower than the solves
+                # themselves), and the sweep only persists cx/cy/risk_obs.
+                def _stack(f):
+                    return np.asarray(jnp.stack([getattr(o, f)
+                                                 for o in outs]))
+                cx_np, cy_np = _stack("cx"), _stack("cy")
+                risk = _stack("risk_obs")
+            else:
+                res = solver.solve_batch(
+                    jnp.asarray(seeds_all[sl], jnp.int32), init_state, mean,
+                    cov, batch.x_traj[sl], batch.y_traj[sl], v_des)
+                cx_np, cy_np = np.asarray(res.cx), np.asarray(res.cy)
+                risk = np.asarray(res.risk_obs)
         keep = risk <= threshold
         store.write_chunk(
             cid,
-            cx=np.asarray(res.cx)[keep], cy=np.asarray(res.cy)[keep],
+            cx=cx_np[keep], cy=cy_np[keep],
             init_state=np.tile(np.asarray(init_state), (int(keep.sum()), 1)),
             x_obs=np.asarray(batch.x_obs[sl])[keep],
             y_obs=np.asarray(batch.y_obs[sl])[keep],
@@ -136,6 +170,9 @@ def main(argv=None):
                    help="multi-host: probe hosts_alive every N chunks; "
                         "abort cleanly (resumable) on failure")
     p.add_argument("--heartbeat_timeout", type=float, default=30.0)
+    p.add_argument("--dispatch", choices=["pipeline", "batch"], default=None,
+                   help="per-scenario async dispatch (default, faster) or "
+                        "one solve_batch program per chunk")
     args = p.parse_args(argv)
 
     logger = MetricLogger(args.metrics)
@@ -150,7 +187,7 @@ def main(argv=None):
                                 np_, args.num_configs, args.out, args.chunk,
                                 args.acc_const_noise, args.steer_const_noise,
                                 logger, args.heartbeat_every,
-                                args.heartbeat_timeout)
+                                args.heartbeat_timeout, args.dispatch)
                             n = sum(len(a["cx"]) for _, a in store.iter_chunks())
                             print(f"workload={args.workload} cost={mode} "
                                   f"reduced={n_red} obs={n_obs} ts={np_} "
