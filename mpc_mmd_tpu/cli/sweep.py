@@ -85,6 +85,12 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
     rng = np.random.RandomState(0)
     seeds_all = rng.randint(1, 10000, size=num_configs)
 
+    # prefetch the scenario arrays to host ONCE — slicing device arrays per
+    # chunk inside the loop costs a relay round trip per field per chunk
+    host = {f: np.asarray(getattr(batch, f))
+            for f in ("x_obs", "y_obs", "vx_obs", "vy_obs", "psi_obs",
+                      "x_traj", "y_traj")}
+
     n_chunks = (num_configs + chunk - 1) // chunk
     for cid in range(n_chunks):
         if store.is_done(cid):
@@ -136,13 +142,13 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
             cid,
             cx=cx_np[keep], cy=cy_np[keep],
             init_state=np.tile(np.asarray(init_state), (int(keep.sum()), 1)),
-            x_obs=np.asarray(batch.x_obs[sl])[keep],
-            y_obs=np.asarray(batch.y_obs[sl])[keep],
-            vx_obs=np.asarray(batch.vx_obs[sl])[keep],
-            vy_obs=np.asarray(batch.vy_obs[sl])[keep],
-            psi_obs=np.asarray(batch.psi_obs[sl])[keep],
-            x_obs_traj=np.asarray(batch.x_traj[sl])[keep],
-            y_obs_traj=np.asarray(batch.y_traj[sl])[keep],
+            x_obs=host["x_obs"][sl][keep],
+            y_obs=host["y_obs"][sl][keep],
+            vx_obs=host["vx_obs"][sl][keep],
+            vy_obs=host["vy_obs"][sl][keep],
+            psi_obs=host["psi_obs"][sl][keep],
+            x_obs_traj=host["x_traj"][sl][keep],
+            y_obs_traj=host["y_traj"][sl][keep],
             risk_obs=risk[keep],
             seeds=seeds_all[sl][keep],
         )
