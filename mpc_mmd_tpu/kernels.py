@@ -68,12 +68,32 @@ def blockwise_mmd_vs_zero(beta: jnp.ndarray, cost: jnp.ndarray, sigma,
     is this domain's honest "long-context analog" (SURVEY.md §5): the sample
     axis, not sequence, is what grows at pod scale.  Peak memory O(block * N)
     instead of O(N^2).  Exact (no approximation).
+
+    Accepts the same batched (..., N) beta/cost and scalar-or-batched sigma
+    signatures as :func:`mmd_vs_zero`.  On TPU at large N this path is also
+    the more ACCURATE one: measured 9e-6 relative to an f64 oracle at
+    N=2000 vs 1.6e-2 for the dense einsum, whose quadratic term rounds
+    through the default single-pass-bf16 matmul precision (the deliberate
+    policy for the tiny production k — see ProblemConfig.matmul_precision).
     """
-    if cost.ndim != 1 or beta.ndim != 1:
-        raise ValueError(
-            "blockwise_mmd_vs_zero handles 1-D beta/cost only (the row-block"
-            f" scan has no batch axis); got beta {beta.shape}, cost "
-            f"{cost.shape}. Use mmd_vs_zero for batched inputs.")
+    if beta.shape != cost.shape:
+        raise ValueError(f"beta {beta.shape} and cost {cost.shape} must "
+                         "share a shape")
+    if cost.ndim != 1:
+        # batched (..., N): vmap the 1-D row-block core over the flattened
+        # leading dims (sigma scalar or broadcastable to the batch shape),
+        # matching mmd_vs_zero's accepted signatures
+        batch = cost.shape[:-1]
+        b2 = beta.reshape((-1, cost.shape[-1]))
+        c2 = cost.reshape((-1, cost.shape[-1]))
+        if jnp.ndim(sigma):
+            s2 = jnp.broadcast_to(jnp.asarray(sigma), batch).reshape(-1)
+            out = jax.vmap(lambda b, c, s: blockwise_mmd_vs_zero(
+                b, c, s, ker_wt, block))(b2, c2, s2)
+        else:
+            out = jax.vmap(lambda b, c: blockwise_mmd_vs_zero(
+                b, c, sigma, ker_wt, block))(b2, c2)
+        return out.reshape(batch)
     n = cost.shape[-1]
     if n % block:
         pad = block - n % block

@@ -89,3 +89,24 @@ def test_mmd_batched_sigma(rng):
     for i in range(3):
         single = float(mmd_vs_zero(beta[i], cost[i], float(sigma[i]), 10.0))
         assert float(out[i]) == pytest.approx(single, rel=1e-6)
+
+
+def test_blockwise_mmd_batched_matches_dense(rng):
+    """Batched (..., N) inputs with per-batch sigma: the row-block scan
+    vmaps over flattened leading dims and matches mmd_vs_zero exactly."""
+    from mpc_mmd_tpu.kernels import blockwise_mmd_vs_zero
+    B, n = (2, 3), 700
+    beta = jnp.asarray(rng.normal(0, 1, B + (n,)), jnp.float32)
+    cost = jnp.asarray(np.abs(rng.normal(0, 1, B + (n,))), jnp.float32)
+    sig = jnp.asarray(1.0 + rng.random(B), jnp.float32)
+    dense = mmd_vs_zero(beta, cost, sig, 1000.0)
+    tiled = blockwise_mmd_vs_zero(beta, cost, sig, 1000.0, block=256)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(dense),
+                               rtol=1e-4, atol=1e-3)
+    # scalar sigma over the same batch
+    tiled_s = blockwise_mmd_vs_zero(beta, cost, 2.0, 1000.0, block=256)
+    dense_s = mmd_vs_zero(beta, cost, 2.0, 1000.0)
+    np.testing.assert_allclose(np.asarray(tiled_s), np.asarray(dense_s),
+                               rtol=1e-4, atol=1e-3)
+    with pytest.raises(ValueError):
+        blockwise_mmd_vs_zero(beta, cost[..., :-1], 2.0, 1000.0)
