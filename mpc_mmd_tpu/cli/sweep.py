@@ -48,10 +48,11 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
               heartbeat_every: int = 0,
               heartbeat_timeout_s: float = 30.0,
               dispatch: str | None = None) -> ResultStore:
-    """dispatch: "pipeline" (default; per-scenario async dispatch, measured
-    ~17% faster on v5e-lite) or "batch" (one solve_batch program per chunk —
-    the form the sharded mesh sweeps use).  Env override:
-    MPC_MMD_SWEEP_DISPATCH."""
+    """dispatch: "pipeline" (default; per-scenario async dispatch — measured
+    6.12 vs 5.23 solves/s in bench.py and 2.93 vs 2.47 in-situ through the
+    relay on v5e-lite, ~17-19% depending on measurement context) or "batch"
+    (one solve_batch program per chunk — the form the sharded mesh sweeps
+    use).  Env override: MPC_MMD_SWEEP_DISPATCH."""
     import os
     if dispatch is None:
         dispatch = os.environ.get("MPC_MMD_SWEEP_DISPATCH", "pipeline")
@@ -74,7 +75,11 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
     init_state, mean, cov, v_des = ego_initial_state(workload)
     threshold = accept_threshold(mode, cfg.risk.ker_wt)
 
-    tag = (f"{workload}/{noise}_noise/noise_{int(noise_level * 100)}/"
+    # round(), not int(): 0.29 * 100 == 28.999... and int() would put the
+    # sweep in noise_28/ while cli/validate.py's stats layout (which already
+    # uses round(), see validate.py:182) writes noise_29/ — the two sides of
+    # the pipeline must agree on the directory for every representable level.
+    tag = (f"{workload}/{noise}_noise/noise_{round(noise_level * 100)}/"
            f"ts_{num_prime}/{mode}_{num_reduced}_samples_{num_obs}_obs")
     store = ResultStore(f"{out_root}/{tag}", meta={
         "workload": workload, "mode": mode, "noise": noise,

@@ -79,6 +79,14 @@ def blockwise_mmd_vs_zero(beta: jnp.ndarray, cost: jnp.ndarray, sigma,
     if beta.shape != cost.shape:
         raise ValueError(f"beta {beta.shape} and cost {cost.shape} must "
                          "share a shape")
+    if cost.ndim == 1 and jnp.ndim(sigma):
+        # 1-D samples under a batch of bandwidths: mmd_vs_zero broadcasts
+        # this to sigma's batch shape, so mirror it by lifting beta/cost to
+        # the batch and taking the batched path below (the 1-D scan core
+        # assumes a scalar sigma)
+        batch = jnp.shape(jnp.asarray(sigma))
+        beta = jnp.broadcast_to(beta, batch + beta.shape)
+        cost = jnp.broadcast_to(cost, batch + cost.shape)
     if cost.ndim != 1:
         # batched (..., N): vmap the 1-D row-block core over the flattened
         # leading dims (sigma scalar or broadcastable to the batch shape),

@@ -231,6 +231,37 @@ def test_sweep_validate_report_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists(gif)
 
 
+def test_sweep_and_stats_noise_dirs_agree(tmp_path, monkeypatch):
+    """noise_level=0.29: 0.29*100 == 28.999..., so int() would tag the sweep
+    noise_28/ while the stats layout (cli/validate.py, round()) writes
+    noise_29/.  Both sides must round()."""
+    import dataclasses as _dc
+    import mpc_mmd_tpu.cli.sweep as sweep_cli
+    import mpc_mmd_tpu.cli.validate as validate_cli
+    import mpc_mmd_tpu.config as config_mod
+
+    orig_stat = config_mod.static_workload
+
+    def tiny_stat(**kw):
+        cfg = orig_stat(**kw)
+        return cfg.replace(cem=dataclasses.replace(cfg.cem, maxiter_cem=2))
+
+    monkeypatch.setattr(sweep_cli, "static_workload", tiny_stat)
+    monkeypatch.setattr(validate_cli, "static_workload", tiny_stat)
+    roots = []
+    for mode in ("cvar", "saa"):
+        store = sweep_cli.run_sweep(
+            workload="static", mode=mode, noise="gaussian", noise_level=0.29,
+            num_reduced=3, num_obs=2, num_prime=15, num_configs=2,
+            out_root=str(tmp_path / "data"), chunk=2)
+        assert "/noise_29/" in store.root.replace("\\", "/")
+        roots.append(store.root)
+    res = validate_cli.validate_compare(roots, n_mc=20,
+                                        out_root=str(tmp_path / "stats"))
+    if res["n_common"]:          # stats path only exists when scenarios join
+        assert "/noise_29/" in res["stats_path"].replace("\\", "/")
+
+
 def test_persistent_cache_tpu_only(monkeypatch, tmp_path):
     """The persistent XLA cache must stay disabled off-TPU: XLA:CPU AOT
     entries are keyed loosely enough to load under a mismatched host CPU

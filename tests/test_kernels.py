@@ -110,3 +110,13 @@ def test_blockwise_mmd_batched_matches_dense(rng):
                                rtol=1e-4, atol=1e-3)
     with pytest.raises(ValueError):
         blockwise_mmd_vs_zero(beta, cost[..., :-1], 2.0, 1000.0)
+    # 1-D samples under a BATCH of bandwidths (mmd_vs_zero broadcasts to
+    # (S,); the blockwise path must match, not fall into the scalar scan)
+    b1 = jnp.asarray(rng.normal(0, 1, n), jnp.float32)
+    c1 = jnp.asarray(np.abs(rng.normal(0, 1, n)), jnp.float32)
+    sig_b = jnp.asarray([0.7, 1.3, 2.9], jnp.float32)
+    dense_b = mmd_vs_zero(b1, c1, sig_b, 1000.0)
+    tiled_b = blockwise_mmd_vs_zero(b1, c1, sig_b, 1000.0, block=256)
+    assert tiled_b.shape == (3,)
+    np.testing.assert_allclose(np.asarray(tiled_b), np.asarray(dense_b),
+                               rtol=1e-4, atol=1e-3)
