@@ -99,15 +99,73 @@ def test_batch_solve_matches_single_quality():
 
 
 def test_prefactored_close_to_exact():
+    """Full-solve agreement of the production fast path (prefactored KKT
+    inverses) with exact mode (reference-form jnp.linalg.solve) on TIE-FREE
+    blocking scenarios: coefficients and res traces, 3 CEM iterations,
+    3 seeds.  Measured max|dcx| is ~6e-3 on coefficients of scale ~1e2
+    (relative ~4e-5); the bounds below are 2-10x that."""
+    from conftest import blocking_scenarios
     cfg = tiny_cfg("cvar")
     s_pre = Solver(cfg)
     s_ex = Solver(cfg.replace(solve_strategy="exact"))
-    xt, yt = scenario(s_pre.ws)
-    r_pre = s_pre.solve(5, INIT, MEAN, COV, xt, yt, 15.0)
-    r_ex = s_ex.solve(5, INIT, MEAN, COV, xt, yt, 15.0)
-    # same candidate pipeline; strategies agree on the solve output closely
-    np.testing.assert_allclose(np.asarray(r_pre.res), np.asarray(r_ex.res),
-                               rtol=5e-2, atol=5e-2)
+    xts, yts = blocking_scenarios(s_pre.ws.tot_time, 3)
+    for i, seed in enumerate([5, 6, 7]):
+        r_pre = s_pre.solve(seed, INIT, MEAN, COV, xts[i], yts[i], 15.0)
+        r_ex = s_ex.solve(seed, INIT, MEAN, COV, xts[i], yts[i], 15.0)
+        assert float(r_ex.risk_obs) > 0.0, "scenario not tie-free"
+        np.testing.assert_allclose(np.asarray(r_pre.res),
+                                   np.asarray(r_ex.res),
+                                   rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(r_pre.cx),
+                                   np.asarray(r_ex.cx),
+                                   rtol=1e-3, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(r_pre.cy),
+                                   np.asarray(r_ex.cy),
+                                   rtol=1e-3, atol=2e-2)
+
+
+def test_mmd_opt_fast_vs_exact_tie_free():
+    """mmd_opt production fast path (batched inner CEM + prefactored
+    solves) vs exact mode on blocking scenarios.
+
+    Measured behavior (documented, not a bug): at ONE outer iteration the
+    two strategies pick the same winning candidate and coefficients agree
+    to ~4e-3 absolute (scale ~1e2).  Beyond one iteration they legitimately
+    diverge in coefficients — the inner beta-CEM's top-k-by-|beta| reduced-
+    set selection is discrete, so f32 rounding differences between the
+    strategies flip reduced-set membership, shift per-candidate risks by
+    O(0.1%), and the outer argsort then promotes a different, equally good
+    candidate.  The invariant that DOES hold at >=3 iterations is solve
+    quality: converged MMD risk and the per-iteration best-cost trace agree
+    to ~1% relative (measured 0.2-0.7%)."""
+    from conftest import blocking_scenarios
+
+    # 1 iteration: same winner, coefficient-level agreement
+    cfg1 = tiny_cfg("mmd_opt").replace(
+        cem=dataclasses.replace(tiny_cfg("mmd_opt").cem, maxiter_cem=1))
+    s_pre1 = Solver(cfg1)
+    s_ex1 = Solver(cfg1.replace(solve_strategy="exact"))
+    xts, yts = blocking_scenarios(s_pre1.ws.tot_time, 1)
+    rp1 = s_pre1.solve(5, INIT, MEAN, COV, xts[0], yts[0], 15.0)
+    re1 = s_ex1.solve(5, INIT, MEAN, COV, xts[0], yts[0], 15.0)
+    np.testing.assert_allclose(np.asarray(rp1.cx), np.asarray(re1.cx),
+                               rtol=1e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(rp1.cy), np.asarray(re1.cy),
+                               rtol=1e-3, atol=2e-2)
+
+    # 3 iterations: quality parity (risk + res trace) within 2% relative
+    cfg3 = tiny_cfg("mmd_opt")
+    s_pre3 = Solver(cfg3)
+    s_ex3 = Solver(cfg3.replace(solve_strategy="exact"))
+    for i, seed in enumerate([5]):
+        rp = s_pre3.solve(seed, INIT, MEAN, COV, xts[i], yts[i], 15.0)
+        re = s_ex3.solve(seed, INIT, MEAN, COV, xts[i], yts[i], 15.0)
+        assert float(re.risk_obs) < -0.5 * cfg3.risk.ker_wt, \
+            "solve did not converge toward -ker_wt"
+        np.testing.assert_allclose(float(rp.risk_obs), float(re.risk_obs),
+                                   rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(rp.res), np.asarray(re.res),
+                                   rtol=2e-2)
 
 
 def test_dynamic_workload_lane_band():
