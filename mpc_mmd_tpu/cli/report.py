@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import numpy as np
@@ -87,6 +88,21 @@ def grid_boxplot(stats_root: str, noise: str, noise_levels, num_reduced_sets,
             ax.text(0.05, 0.95, f"$N={num_reduced}$",
                     transform=ax.transAxes, va="top",
                     bbox=dict(boxstyle="round", facecolor="wheat", alpha=0.5))
+            # paired-significance annotation (sidecar written by
+            # validate_compare): Wilcoxon p for the first present pair
+            sidecar = path.replace(".npz", ".json")
+            if len(present) >= 2 and os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    pairs = json.load(f).get("pairs", {})
+                key = f"{present[0]}_vs_{present[1]}"
+                key_r = f"{present[1]}_vs_{present[0]}"
+                ps = pairs.get(key) or pairs.get(key_r)
+                if ps and ps.get("p_wilcoxon") is not None:
+                    ax.text(0.95, 0.95, f"p={ps['p_wilcoxon']:.3f}",
+                            transform=ax.transAxes, va="top", ha="right",
+                            fontsize=9,
+                            bbox=dict(boxstyle="round", facecolor="white",
+                                      alpha=0.6))
             ax.set_xticks(range(1, len(present) + 1),
                           [mode_labels.get(m, m) for m in present])
             if j == 0:

@@ -118,6 +118,47 @@ def intersect_stores(all_arrays: list, num_obs: int) -> list:
     return out
 
 
+def paired_stats(a: np.ndarray, b: np.ndarray, n_boot: int = 10000,
+                 seed: int = 0) -> dict:
+    """Paired significance of collision-count samples ``a`` vs ``b`` over
+    the SAME scenarios (the intersection join preserves pairing, so a
+    paired test is the statistically correct comparison — the reference's
+    box plots eyeball unpaired means, plot_box_plots.py:116).
+
+    Returns the Wilcoxon signed-rank p-value (two-sided; ties/zeros split,
+    p=1.0 when every pair is tied) and a seeded percentile-bootstrap 95% CI
+    on mean(a - b).  mean_diff < 0 with ci95 excluding 0 means ``a``
+    (convention: mmd_opt) beats ``b`` significantly.
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"paired arrays must match: {a.shape} vs {b.shape}")
+    d = a - b
+    out = {"n": int(len(d)), "mean_diff": float(np.mean(d)),
+           "p50_diff": float(np.median(d))}
+    try:
+        from scipy.stats import wilcoxon
+        if np.all(d == 0):
+            out["p_wilcoxon"] = 1.0
+        else:
+            # zsplit: zero-differences split between ranks (keeps n honest
+            # when many scenarios are collision-free under both modes)
+            out["p_wilcoxon"] = float(
+                wilcoxon(a, b, zero_method="zsplit",
+                         alternative="two-sided").pvalue)
+    except ImportError:                      # pragma: no cover
+        out["p_wilcoxon"] = None
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(d), size=(n_boot, len(d)))
+    boot_means = np.mean(d[idx], axis=1)
+    lo, hi = np.percentile(boot_means, [2.5, 97.5])
+    out["mean_diff_ci95"] = [float(lo), float(hi)]
+    out["significant_05"] = bool(out["p_wilcoxon"] is not None
+                                 and out["p_wilcoxon"] < 0.05)
+    return out
+
+
 def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
                      out_root: str = "./stats") -> dict:
     """Joint validation of one scenario config swept under several modes.
@@ -176,6 +217,19 @@ def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
             "coll_pct_p95": float(np.percentile(coll, 95) / n_mc * 100.0),
             "lane_mean": float(np.mean(lane)),
         }
+
+    # Paired significance for every mode pair (VERDICT r2 item 3): the join
+    # gives aligned per-scenario samples, so Wilcoxon signed-rank + a
+    # bootstrap CI on the mean difference settle "MMD beats CVaR" properly
+    # instead of eyeballing means.
+    modes_list = [m["mode"] for m in metas]
+    out["pairs"] = {}
+    for i in range(len(modes_list)):
+        for j in range(i + 1, len(modes_list)):
+            mi, mj = modes_list[i], modes_list[j]
+            out["pairs"][f"{mi}_vs_{mj}"] = paired_stats(
+                npz_payload[f"coll_{mi}"], npz_payload[f"coll_{mj}"],
+                seed=seed)
 
     # round(), not int(): 0.29 * 100 == 28.999... and int() would mislabel
     # the directory (the reference's validation.py:459 layout says 29)

@@ -164,6 +164,13 @@ def test_validate_compare_and_grid(tmp_path, monkeypatch):
     res = validate_cli.validate_compare(roots, n_mc=50, out_root=stats_root)
     assert res["n_common"] >= 1
     assert set(res["modes"]) == {"cvar", "saa"}
+    # paired significance rides in the result + sidecar
+    assert "cvar_vs_saa" in res["pairs"]
+    ps = res["pairs"]["cvar_vs_saa"]
+    assert ps["n"] == res["n_common"]
+    assert 0.0 <= ps["p_wilcoxon"] <= 1.0
+    sidecar = json.load(open(res["stats_path"].replace(".npz", ".json")))
+    assert "pairs" in sidecar
     with np.load(res["stats_path"]) as z:
         assert z["coll_cvar"].shape == z["coll_saa"].shape == \
             (res["n_common"],)
@@ -229,6 +236,31 @@ def test_sweep_validate_report_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists(fig2)
     gif = report_cli.animate(store.root, str(tmp_path / "traj.gif"), n_mc=10)
     assert os.path.exists(gif)
+
+
+def test_paired_stats():
+    """Wilcoxon + bootstrap on paired collision counts: a systematic shift
+    is significant with a CI excluding zero; identical samples give p=1."""
+    from mpc_mmd_tpu.cli.validate import paired_stats
+
+    rng = np.random.default_rng(3)
+    base = rng.poisson(30, size=80).astype(float)
+    shifted = base + rng.poisson(8, size=80)       # b systematically worse
+    s = paired_stats(base, shifted)
+    assert s["p_wilcoxon"] < 1e-6 and s["significant_05"]
+    assert s["mean_diff"] < 0
+    assert s["mean_diff_ci95"][1] < 0.0            # CI excludes zero
+
+    same = paired_stats(base, base.copy())
+    assert same["p_wilcoxon"] == 1.0 and not same["significant_05"]
+    assert same["mean_diff"] == 0.0
+
+    # pure noise: not significant (sanity against false positives)
+    noise = paired_stats(base, base + rng.normal(0, 0.5, 80).round())
+    assert noise["p_wilcoxon"] > 0.01
+
+    with pytest.raises(ValueError):
+        paired_stats(base, base[:-1])
 
 
 def test_sweep_and_stats_noise_dirs_agree(tmp_path, monkeypatch):
