@@ -50,13 +50,16 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
               dispatch: str | None = None) -> ResultStore:
     """dispatch: "pipeline" (default; per-scenario async dispatch — measured
     6.12 vs 5.23 solves/s in bench.py and 2.93 vs 2.47 in-situ through the
-    relay on v5e-lite, ~17-19% depending on measurement context) or "batch"
-    (one solve_batch program per chunk — the form the sharded mesh sweeps
-    use).  Env override: MPC_MMD_SWEEP_DISPATCH."""
+    relay on v5e-lite, ~17-19% depending on measurement context), "batch"
+    (one solve_batch program per chunk) or "mesh" (scenario-sharded
+    shard_map sweep over the device mesh, with psum'd acceptance stats and
+    per-process ResultStore shards — the pod-scale BASELINE config 5 path;
+    under multi-host each process solves only the chunks it owns, cid %
+    num_processes == process_id).  Env override: MPC_MMD_SWEEP_DISPATCH."""
     import os
     if dispatch is None:
         dispatch = os.environ.get("MPC_MMD_SWEEP_DISPATCH", "pipeline")
-    if dispatch not in ("pipeline", "batch"):
+    if dispatch not in ("pipeline", "batch", "mesh"):
         raise ValueError(f"unknown dispatch {dispatch!r}")
     logger = logger or MetricLogger()
     make = static_workload if workload == "static" else dynamic_workload
@@ -65,6 +68,19 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
                acc_const_noise=acc_const_noise,
                steer_const_noise=steer_const_noise)
     solver = Solver(cfg)
+
+    process_id, num_processes = 0, 1
+    if dispatch == "mesh":
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import (SCENARIO_AXIS, make_mesh, sharded_sweep,
+                                     sweep_statistics)
+        process_id, num_processes = jax.process_index(), jax.process_count()
+        mesh_obj = make_mesh()
+        mesh_sweep = sharded_sweep(cfg, solver.ws, mesh_obj)
+        mesh_stats = sweep_statistics(cfg, mesh_obj)
+        n_dev = int(np.prod(mesh_obj.devices.shape))
+        shard_spec = NamedSharding(mesh_obj, P(SCENARIO_AXIS))
 
     with phase_timer(logger, "scenario_gen"):
         if workload == "static":
@@ -85,7 +101,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         "workload": workload, "mode": mode, "noise": noise,
         "noise_level": noise_level, "num_reduced": num_reduced,
         "num_obs": num_obs, "num_prime": num_prime,
-        "num_configs": num_configs})
+        "num_configs": num_configs},
+        process_id=process_id, num_processes=num_processes)
 
     rng = np.random.RandomState(0)
     seeds_all = rng.randint(1, 10000, size=num_configs)
@@ -98,6 +115,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
 
     n_chunks = (num_configs + chunk - 1) // chunk
     for cid in range(n_chunks):
+        if not store.owns(cid):       # multi-process: peer's chunk
+            continue
         if store.is_done(cid):
             continue
         if heartbeat_every and cid % heartbeat_every == 0:
@@ -136,6 +155,33 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
                                                  for o in outs]))
                 cx_np, cy_np = _stack("cx"), _stack("cy")
                 risk = _stack("risk_obs")
+            elif dispatch == "mesh":
+                # scenario-sharded shard_map over the mesh: pad the chunk
+                # to a multiple of the mesh size (dup of the last scenario;
+                # trimmed before persisting), shard inputs, ONE program
+                n = hi - lo
+                pad = (-n) % n_dev
+                idx_p = np.concatenate([np.arange(lo, hi),
+                                        np.full(pad, hi - 1, np.int64)])
+                import jax
+                seeds_p = jax.device_put(
+                    jnp.asarray(seeds_all[idx_p], jnp.int32), shard_spec)
+                xt_p = jax.device_put(jnp.asarray(host["x_traj"][idx_p]),
+                                      shard_spec)
+                yt_p = jax.device_put(jnp.asarray(host["y_traj"][idx_p]),
+                                      shard_spec)
+                res = mesh_sweep(seeds_p, init_state, mean, cov, xt_p, yt_p,
+                                 v_des)
+                # psum'd acceptance count INSIDE the mapped region (padding
+                # rows masked to +inf so they never count)
+                mask = jnp.asarray(np.arange(n + pad) < n)
+                risk_m = jnp.where(mask, res.risk_obs, jnp.inf)
+                n_acc_dev, _, _ = mesh_stats(risk_m, jnp.float32(threshold))
+                logger.log("chunk_psum_stats", chunk=cid,
+                           accepted=int(n_acc_dev))
+                cx_np = np.asarray(res.cx)[:n]
+                cy_np = np.asarray(res.cy)[:n]
+                risk = np.asarray(res.risk_obs)[:n]
             else:
                 res = solver.solve_batch(
                     jnp.asarray(seeds_all[sl], jnp.int32), init_state, mean,
@@ -181,9 +227,12 @@ def main(argv=None):
                    help="multi-host: probe hosts_alive every N chunks; "
                         "abort cleanly (resumable) on failure")
     p.add_argument("--heartbeat_timeout", type=float, default=30.0)
-    p.add_argument("--dispatch", choices=["pipeline", "batch"], default=None,
-                   help="per-scenario async dispatch (default, faster) or "
-                        "one solve_batch program per chunk")
+    p.add_argument("--dispatch", choices=["pipeline", "batch", "mesh"],
+                   default=None,
+                   help="per-scenario async dispatch (default, faster), one "
+                        "solve_batch program per chunk, or a scenario-"
+                        "sharded shard_map sweep over the device mesh with "
+                        "per-process store shards (pod-scale path)")
     args = p.parse_args(argv)
 
     logger = MetricLogger(args.metrics)

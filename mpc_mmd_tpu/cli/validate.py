@@ -36,8 +36,21 @@ from ..utils.io_store import ResultStore
 from ..validate import make_validator
 
 
+def _build_validator(cfg, ws, n_mc: int, use_mesh: bool):
+    """Single-device or mesh-sharded MC validator with a uniform signature.
+    The sharded validator's per-solve results are bitwise identical to the
+    single-device path (keys split globally, padding trimmed internally) —
+    its psum totals are dropped here since the CLI persists per-solve
+    arrays anyway."""
+    if use_mesh:
+        from ..parallel.mesh import sharded_validator
+        inner = sharded_validator(cfg, ws, n_mc=n_mc)
+        return lambda *args: inner(*args)[0]
+    return make_validator(cfg, ws, n_mc=n_mc)
+
+
 def validate_store(data_root: str, n_mc: int = 1000, seed: int = 0,
-                   out_root: str | None = None) -> dict:
+                   out_root: str | None = None, mesh: bool = False) -> dict:
     store = ResultStore(data_root)
     meta = store.meta
     make = static_workload if meta.get("workload", "static") == "static" \
@@ -46,7 +59,7 @@ def validate_store(data_root: str, n_mc: int = 1000, seed: int = 0,
                noise=meta["noise"], noise_level=meta["noise_level"],
                num_prime=meta["num_prime"], mode=meta["mode"])
     ws = build_workspace(cfg)
-    validator = make_validator(cfg, ws, n_mc=n_mc)
+    validator = _build_validator(cfg, ws, n_mc, mesh)
 
     arrays = store.concatenated()
     if len(arrays.get("cx", ())) == 0:
@@ -160,7 +173,7 @@ def paired_stats(a: np.ndarray, b: np.ndarray, n_boot: int = 10000,
 
 
 def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
-                     out_root: str = "./stats") -> dict:
+                     out_root: str = "./stats", mesh: bool = False) -> dict:
     """Joint validation of one scenario config swept under several modes.
 
     All stores must share (workload, noise, noise_level, num_reduced,
@@ -194,7 +207,7 @@ def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
                    noise=meta["noise"], noise_level=meta["noise_level"],
                    num_prime=meta["num_prime"], mode=meta["mode"])
         ws = build_workspace(cfg)
-        validator = make_validator(cfg, ws, n_mc=n_mc)
+        validator = _build_validator(cfg, ws, n_mc, mesh)
         stats = validator(jnp.asarray(arrays["cx"][idx]),
                           jnp.asarray(arrays["cy"][idx]),
                           jnp.asarray(arrays["init_state"][0]),
@@ -273,14 +286,18 @@ def main(argv=None):
     p.add_argument("--n_mc", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the MC validation over the device mesh "
+                        "(per-solve results bitwise identical)")
     args = p.parse_args(argv)
     if args.compare:
         out = validate_compare(args.data, args.n_mc, args.seed,
-                               args.out or "./stats")
+                               args.out or "./stats", mesh=args.mesh)
         print(json.dumps(out, indent=1))
     else:
         for root in args.data:
-            out = validate_store(root, args.n_mc, args.seed, args.out)
+            out = validate_store(root, args.n_mc, args.seed, args.out,
+                                 mesh=args.mesh)
             print(json.dumps({k: v for k, v in out.items()
                               if not isinstance(v, list)}, indent=1))
 

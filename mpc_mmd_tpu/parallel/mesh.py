@@ -131,6 +131,71 @@ def sharded_frenet_sweep(cfg: ProblemConfig, ws: Optional[Workspace] = None,
     return jax.jit(mapped)
 
 
+def sharded_validator(cfg: ProblemConfig, ws: Optional[Workspace] = None,
+                      n_mc: int = 1000, mesh: Optional[Mesh] = None):
+    """Mesh-sharded Monte-Carlo validator (pod-scale BASELINE config 5).
+
+    Returns ``validate(cx, cy, init_state, x_obs_traj, y_obs_traj, key)``
+    — the same signature as :func:`mpc_mmd_tpu.validate.make_validator` —
+    with the solve axis sharded over the mesh.  Keys are split globally
+    (for the ORIGINAL solve count) then sharded, and any padding needed to
+    reach a mesh-size multiple is added and trimmed internally, so
+    per-solve results are bitwise identical to the single-device
+    validator for every S.  Alongside the per-solve stats it returns
+    psum-reduced totals ``(coll_total, lane_total)`` computed INSIDE the
+    mapped region with padding masked out — the pod-scale validation
+    summary never gathers per-scenario data to one host (SURVEY §5
+    distributed row).
+    """
+    from ..validate import ValidationStats, make_validator_core
+
+    if ws is None:
+        ws = build_workspace(cfg)
+    if mesh is None:
+        mesh = make_mesh()
+    core = make_validator_core(cfg, ws, n_mc)
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    def body(cx, cy, init_state, xt, yt, keys, mask):
+        stats = core(cx, cy, init_state, xt, yt, keys)
+        coll_total = jax.lax.psum(
+            jnp.sum(jnp.where(mask, stats.coll_count, 0)), SCENARIO_AXIS)
+        lane_total = jax.lax.psum(
+            jnp.sum(jnp.where(mask, stats.lane_count, 0)), SCENARIO_AXIS)
+        return stats, coll_total, lane_total
+
+    spec_s = P(SCENARIO_AXIS)
+    spec_r = P()
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_s, spec_s, spec_r, spec_s, spec_s, spec_s, spec_s),
+        out_specs=(ValidationStats(spec_s, spec_s, spec_s), spec_r, spec_r),
+        check_vma=False)
+    mapped = jax.jit(mapped)
+    sharding = NamedSharding(mesh, spec_s)
+
+    def validate(cx, cy, init_state, x_obs_traj, y_obs_traj, key):
+        S = cx.shape[0]
+        keys = jax.random.split(key, S)
+        pad = (-S) % n_dev
+
+        def padded(a):
+            if pad == 0:
+                return jax.device_put(a, sharding)
+            last = jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])
+            return jax.device_put(jnp.concatenate([a, last]), sharding)
+
+        mask = jnp.arange(S + pad) < S
+        stats, coll_tot, lane_tot = mapped(
+            padded(jnp.asarray(cx)), padded(jnp.asarray(cy)), init_state,
+            padded(jnp.asarray(x_obs_traj)), padded(jnp.asarray(y_obs_traj)),
+            padded(keys), jax.device_put(mask, sharding))
+        stats = ValidationStats(*(a[:S] for a in stats))
+        return stats, coll_tot, lane_tot
+
+    return validate
+
+
 def sweep_statistics(cfg: ProblemConfig, mesh: Optional[Mesh] = None):
     """Jitted psum-reduced sweep statistics.
 

@@ -3,16 +3,27 @@
 The reference persists one monolithic npz per sweep with no resume — a
 crashed 200-config run starts over (SURVEY.md §5, main_mpc.py:130-135).
 Here results are written as fixed-size chunk shards with a JSON manifest;
-re-running a sweep skips completed chunks (idempotent resume), and under
-multi-host each process writes only its own shard files.
+re-running a sweep skips completed chunks (idempotent resume).
+
+Multi-host: each process constructs the store with its own
+``process_id`` and writes ONLY its own chunk shards and its own manifest
+file (``manifest_p{pid}.json``), so no two processes ever write the same
+file — no cross-host locking needed, any shared filesystem works.  Readers
+(`iter_chunks` / `concatenated`) merge every process manifest present in
+the root.  Chunk ownership is by convention ``cid % num_processes ==
+process_id`` (the mesh sweep in cli/sweep.py follows it); the store itself
+only enforces write-isolation.
 
 Layout:
-    <root>/manifest.json                  {"chunks": {"0": "chunk_00000.npz", ...}}
+    <root>/manifest.json                  process 0 (single-process layout)
+    <root>/manifest_p001.json             process 1's chunks
     <root>/chunk_00000.npz                arrays for configs [0, chunk)
+    <root>/chunk_p001_00001.npz           process 1's chunk 1
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 from typing import Dict, Iterator, List, Optional, Tuple
@@ -21,10 +32,16 @@ import numpy as np
 
 
 class ResultStore:
-    def __init__(self, root: str, meta: Optional[dict] = None):
+    def __init__(self, root: str, meta: Optional[dict] = None,
+                 process_id: int = 0, num_processes: int = 1):
+        if not (0 <= process_id < num_processes):
+            raise ValueError(f"process_id {process_id} out of range for "
+                             f"{num_processes} processes")
         self.root = root
+        self.process_id = process_id
+        self.num_processes = num_processes
         os.makedirs(root, exist_ok=True)
-        self._manifest_path = os.path.join(root, "manifest.json")
+        self._manifest_path = os.path.join(root, self._manifest_name(process_id))
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
                 self._manifest = json.load(f)
@@ -36,29 +53,71 @@ class ResultStore:
             self._manifest = {"meta": meta or {}, "chunks": {}}
             self._flush_manifest()
 
+    @staticmethod
+    def _manifest_name(pid: int) -> str:
+        return "manifest.json" if pid == 0 else f"manifest_p{pid:03d}.json"
+
     def _flush_manifest(self) -> None:
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self._manifest, f, indent=1)
         os.replace(tmp, self._manifest_path)
 
+    def _all_manifests(self) -> List[dict]:
+        """Every process manifest in the root (self's in-memory copy plus
+        peers' on disk), for merged reads."""
+        out = [self._manifest]
+        for path in sorted(glob.glob(os.path.join(self.root, "manifest*.json"))):
+            if os.path.abspath(path) == os.path.abspath(self._manifest_path):
+                continue
+            with open(path) as f:
+                m = json.load(f)
+            if (m.get("meta") and self._manifest.get("meta")
+                    and m["meta"] != self._manifest["meta"]):
+                raise ValueError(
+                    f"peer manifest {path} holds different meta "
+                    f"({m['meta']} != {self._manifest['meta']})")
+            out.append(m)
+        return out
+
+    def owns(self, chunk_id: int) -> bool:
+        """Chunk-ownership convention for multi-process sweeps."""
+        return chunk_id % self.num_processes == self.process_id
+
     def done_chunks(self) -> List[int]:
-        return sorted(int(k) for k in self._manifest["chunks"])
+        """All completed chunks across every process manifest."""
+        done = set()
+        for m in self._all_manifests():
+            done.update(int(k) for k in m["chunks"])
+        return sorted(done)
 
     def is_done(self, chunk_id: int) -> bool:
-        return str(chunk_id) in self._manifest["chunks"]
+        if str(chunk_id) in self._manifest["chunks"]:
+            return True
+        return self.num_processes > 1 and chunk_id in self.done_chunks()
 
     def write_chunk(self, chunk_id: int, **arrays: np.ndarray) -> None:
-        name = f"chunk_{chunk_id:05d}.npz"
+        if not self.owns(chunk_id):
+            raise ValueError(
+                f"process {self.process_id}/{self.num_processes} does not "
+                f"own chunk {chunk_id} (owner: "
+                f"{chunk_id % self.num_processes})")
+        prefix = "" if self.process_id == 0 else f"p{self.process_id:03d}_"
+        name = f"chunk_{prefix}{chunk_id:05d}.npz"
         path = os.path.join(self.root, name)
         np.savez(path + ".tmp.npz", **{k: np.asarray(v) for k, v in arrays.items()})
         os.replace(path + ".tmp.npz", path)
         self._manifest["chunks"][str(chunk_id)] = name
         self._flush_manifest()
 
+    def _chunk_name(self, chunk_id: int) -> str:
+        for m in self._all_manifests():
+            if str(chunk_id) in m["chunks"]:
+                return m["chunks"][str(chunk_id)]
+        raise KeyError(f"chunk {chunk_id} not in any manifest under {self.root}")
+
     def read_chunk(self, chunk_id: int) -> Dict[str, np.ndarray]:
-        name = self._manifest["chunks"][str(chunk_id)]
-        with np.load(os.path.join(self.root, name)) as z:
+        with np.load(os.path.join(self.root, self._chunk_name(chunk_id))) as z:
             return {k: z[k] for k in z.files}
 
     def iter_chunks(self) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:

@@ -59,11 +59,14 @@ def _mc_noise(cfg: ProblemConfig, key: jax.Array, acc: jnp.ndarray,
             steer + steer_pert + noise.steer_const * eps)
 
 
-def make_validator(cfg: ProblemConfig, ws: Workspace, n_mc: int = 1000):
-    """Jitted batch validator.
+def make_validator_core(cfg: ProblemConfig, ws: Workspace, n_mc: int = 1000):
+    """Unjitted per-solve-keys validator core.
 
-    Returns ``validate(cx, cy, init_state, x_obs_traj, y_obs_traj, key)``
-    with cx, cy: (S, nvar); x_obs_traj: (S, num_obs, num); output stats (S,).
+    Returns ``validate(cx, cy, init_state, x_obs_traj, y_obs_traj, keys)``
+    where ``keys`` is (S, 2) uint32 — one PRNG key per solve, pre-split by
+    the caller.  Taking keys (instead of one key split inside) keeps the
+    mesh-sharded validator (parallel/mesh.sharded_validator) bitwise
+    identical to the single-device path: keys split globally, then shard.
     """
     T = cfg.horizon.num_prime
     dt = cfg.horizon.dt
@@ -104,10 +107,24 @@ def make_validator(cfg: ProblemConfig, ws: Workspace, n_mc: int = 1000):
                       + jnp.max(jnp.sum(ub, axis=0)))
         return coll_count, lane_count, coll_fraction
 
-    def validate(cx, cy, init_state, x_obs_traj, y_obs_traj, key):
-        keys = jax.random.split(key, cx.shape[0])
+    def validate_keys(cx, cy, init_state, x_obs_traj, y_obs_traj, keys):
         cc, lc, cf = jax.vmap(one, in_axes=(0, 0, None, 0, 0, 0))(
             cx, cy, init_state, x_obs_traj, y_obs_traj, keys)
         return ValidationStats(cc, lc, cf)
+
+    return validate_keys
+
+
+def make_validator(cfg: ProblemConfig, ws: Workspace, n_mc: int = 1000):
+    """Jitted batch validator.
+
+    Returns ``validate(cx, cy, init_state, x_obs_traj, y_obs_traj, key)``
+    with cx, cy: (S, nvar); x_obs_traj: (S, num_obs, num); output stats (S,).
+    """
+    core = make_validator_core(cfg, ws, n_mc)
+
+    def validate(cx, cy, init_state, x_obs_traj, y_obs_traj, key):
+        keys = jax.random.split(key, cx.shape[0])
+        return core(cx, cy, init_state, x_obs_traj, y_obs_traj, keys)
 
     return jax.jit(validate)

@@ -33,6 +33,43 @@ def test_store_resume(tmp_path):
         ResultStore(root, meta={"x": 2})
 
 
+def test_store_multiprocess_shards(tmp_path):
+    """Multi-host write isolation (io_store docstring claim): each process
+    writes only its own chunk files + manifest; readers merge all process
+    manifests; ownership is enforced on write."""
+    root = str(tmp_path / "s")
+    meta = {"mode": "cvar"}
+    s0 = ResultStore(root, meta=meta, process_id=0, num_processes=2)
+    s1 = ResultStore(root, meta=meta, process_id=1, num_processes=2)
+    assert s0.owns(0) and s0.owns(2) and not s0.owns(1)
+    assert s1.owns(1) and not s1.owns(0)
+    s0.write_chunk(0, a=np.zeros(2))
+    s1.write_chunk(1, a=np.ones(3))
+    s0.write_chunk(2, a=np.full(1, 2.0))
+    with pytest.raises(ValueError):        # not the owner
+        s0.write_chunk(1, a=np.zeros(1))
+    with pytest.raises(ValueError):
+        ResultStore(root, meta=meta, process_id=2, num_processes=2)
+    # no shared files: distinct manifests + chunk names
+    files = set(os.listdir(root))
+    assert {"manifest.json", "manifest_p001.json", "chunk_00000.npz",
+            "chunk_p001_00001.npz", "chunk_00002.npz"} <= files
+    # merged reads from either handle
+    for s in (s0, s1):
+        assert s.done_chunks() == [0, 1, 2]
+        assert s.is_done(1)
+    cat = s0.concatenated()
+    np.testing.assert_array_equal(cat["a"], [0, 0, 1, 1, 1, 2])
+    # meta mismatch across manifests is refused at read time
+    s_bad = ResultStore(str(tmp_path / "t"), meta={"mode": "saa"},
+                        process_id=0, num_processes=2)
+    import shutil
+    shutil.copy(os.path.join(root, "manifest_p001.json"),
+                os.path.join(str(tmp_path / "t"), "manifest_p001.json"))
+    with pytest.raises(ValueError):
+        s_bad.done_chunks()
+
+
 def test_metric_logger(tmp_path):
     path = str(tmp_path / "m.jsonl")
     logger = MetricLogger(path)
@@ -228,6 +265,12 @@ def test_sweep_validate_report_end_to_end(tmp_path, monkeypatch):
                                         out_root=stats_dir)
     assert stats["n_solves"] == n_acc
     assert 0.0 <= stats["coll_pct_mean"] <= 100.0
+    # --mesh validation path produces identical per-solve counts
+    stats_m = validate_cli.validate_store(store.root, n_mc=50,
+                                          out_root=os.path.join(
+                                              store.root, "stats_mesh"),
+                                          mesh=True)
+    assert stats_m["coll_count"] == stats["coll_count"]
     fig1 = report_cli.boxplot([stats_dir], ["cvar"], 50,
                               str(tmp_path / "box.png"))
     assert os.path.exists(fig1)

@@ -109,5 +109,110 @@ def test_candidate_sharded_solve_matches_plain():
                                atol=1e-4)
 
 
+def test_sharded_validator_bitwise_matches_single(mesh):
+    """Mesh-sharded MC validation equals the single-device validator
+    BITWISE (keys split globally then sharded), including at a solve count
+    not divisible by the mesh (internal padding), and the psum totals
+    equal the host-side sums."""
+    from mpc_mmd_tpu.parallel.mesh import sharded_validator
+    from mpc_mmd_tpu.validate import make_validator
+
+    cfg = tiny_cfg()
+    ws = build_workspace(cfg)
+    rng = np.random.default_rng(0)
+    S = 11                     # not divisible by 8 -> exercises padding
+    nvar = cfg.horizon.nvar
+    # plausible coefficient scale (trajectories tens of meters)
+    cx = jnp.asarray(rng.normal(40, 20, (S, nvar)), jnp.float32)
+    cy = jnp.asarray(rng.normal(0, 1.5, (S, nvar)), jnp.float32)
+    batch = static_grid(cfg, S)
+    init_state, _, _, _ = ego_initial_state("static")
+    key = jax.random.PRNGKey(7)
+
+    v_single = make_validator(cfg, ws, n_mc=64)
+    ref = v_single(cx, cy, init_state, batch.x_traj, batch.y_traj, key)
+
+    v_mesh = sharded_validator(cfg, ws, n_mc=64, mesh=mesh)
+    got, coll_tot, lane_tot = v_mesh(cx, cy, init_state, batch.x_traj,
+                                     batch.y_traj, key)
+    np.testing.assert_array_equal(np.asarray(got.coll_count),
+                                  np.asarray(ref.coll_count))
+    np.testing.assert_array_equal(np.asarray(got.lane_count),
+                                  np.asarray(ref.lane_count))
+    np.testing.assert_array_equal(np.asarray(got.coll_fraction),
+                                  np.asarray(ref.coll_fraction))
+    assert int(coll_tot) == int(np.sum(np.asarray(ref.coll_count)))
+    assert int(lane_tot) == int(np.sum(np.asarray(ref.lane_count)))
+
+
+def test_mesh_dispatch_sweep_matches_batch(tmp_path, monkeypatch):
+    """cli/sweep.py --dispatch mesh: the shard_map sweep persists the same
+    accepted results as the solve_batch path (risk quality parity; see the
+    argsort-ties invariant for why coefficients may differ)."""
+    import dataclasses as _dc
+    import mpc_mmd_tpu.cli.sweep as sweep_cli
+    import mpc_mmd_tpu.config as config_mod
+
+    orig_stat = config_mod.static_workload
+
+    def tiny_stat(**kw):
+        cfg = orig_stat(**kw)
+        return cfg.replace(cem=_dc.replace(cfg.cem, maxiter_cem=2))
+
+    monkeypatch.setattr(sweep_cli, "static_workload", tiny_stat)
+    kw = dict(workload="static", mode="cvar", noise="gaussian",
+              noise_level=0.1, num_reduced=3, num_obs=2, num_prime=15,
+              num_configs=12, chunk=6)
+    a = sweep_cli.run_sweep(**kw, out_root=str(tmp_path / "mesh"),
+                            dispatch="mesh").concatenated()
+    b = sweep_cli.run_sweep(**kw, out_root=str(tmp_path / "batch"),
+                            dispatch="batch").concatenated()
+    np.testing.assert_array_equal(a["seeds"], b["seeds"])
+    np.testing.assert_allclose(a["risk_obs"], b["risk_obs"],
+                               rtol=1e-3, atol=1e-3)
+    assert a["cx"].shape == b["cx"].shape
+
+
+def test_mesh_dispatch_multiprocess_store_shards(tmp_path, monkeypatch):
+    """Multi-host mesh sweep semantics simulated in-process: two "processes"
+    run the same sweep command against one store root; each solves only the
+    chunks it owns and writes only its own shard files; the merged store
+    covers every config exactly once."""
+    import dataclasses as _dc
+    import os
+    import mpc_mmd_tpu.cli.sweep as sweep_cli
+    import mpc_mmd_tpu.config as config_mod
+
+    orig_stat = config_mod.static_workload
+
+    def tiny_stat(**kw):
+        cfg = orig_stat(**kw)
+        return cfg.replace(cem=_dc.replace(cfg.cem, maxiter_cem=2))
+
+    monkeypatch.setattr(sweep_cli, "static_workload", tiny_stat)
+    kw = dict(workload="static", mode="cvar", noise="gaussian",
+              noise_level=0.1, num_reduced=3, num_obs=2, num_prime=15,
+              num_configs=16, chunk=4, out_root=str(tmp_path / "data"),
+              dispatch="mesh")
+    stores = []
+    for pid in range(2):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        stores.append(sweep_cli.run_sweep(**kw))
+    monkeypatch.undo()
+    # every chunk done exactly once across the union; each process only
+    # wrote its own files
+    assert stores[1].done_chunks() == [0, 1, 2, 3]
+    files = sorted(os.listdir(stores[0].root))
+    assert "chunk_00000.npz" in files and "chunk_00002.npz" in files
+    assert "chunk_p001_00001.npz" in files and "chunk_p001_00003.npz" in files
+    assert "manifest.json" in files and "manifest_p001.json" in files
+    merged = stores[1].concatenated()
+    ref = sweep_cli.run_sweep(**{**kw, "dispatch": "batch",
+                                 "out_root": str(tmp_path / "ref")})
+    np.testing.assert_array_equal(np.sort(merged["seeds"]),
+                                  np.sort(ref.concatenated()["seeds"]))
+
+
 def test_dryrun_entrypoint():
     dryrun(8)
