@@ -47,7 +47,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
               logger: MetricLogger | None = None,
               heartbeat_every: int = 0,
               heartbeat_timeout_s: float = 30.0,
-              dispatch: str | None = None) -> ResultStore:
+              dispatch: str | None = None,
+              inner_budget: tuple | None = None) -> ResultStore:
     """dispatch: "pipeline" (default; per-scenario async dispatch — measured
     6.12 vs 5.23 solves/s in bench.py and 2.93 vs 2.47 in-situ through the
     relay on v5e-lite, ~17-19% depending on measurement context), "batch"
@@ -67,6 +68,15 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
                noise_level=noise_level, num_prime=num_prime, mode=mode,
                acc_const_noise=acc_const_noise,
                steer_const_noise=steer_const_noise)
+    if inner_budget is not None:
+        # reduced inner-CEM budget (the "realtime" operating point; see
+        # config.realtime_workload) — tagged into the store name so a
+        # certification run can sweep default and reduced budgets side by
+        # side without store collisions
+        import dataclasses as _dc
+        S_b, it_b = inner_budget
+        cfg = cfg.replace(beta_cem=_dc.replace(
+            cfg.beta_cem, num_samples_cem=S_b, maxiter=it_b))
     solver = Solver(cfg)
 
     process_id, num_processes = 0, 1
@@ -95,14 +105,19 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
     # sweep in noise_28/ while cli/validate.py's stats layout (which already
     # uses round(), see validate.py:182) writes noise_29/ — the two sides of
     # the pipeline must agree on the directory for every representable level.
+    mode_tag = mode if inner_budget is None else \
+        f"{mode}_S{inner_budget[0]}x{inner_budget[1]}"
     tag = (f"{workload}/{noise}_noise/noise_{round(noise_level * 100)}/"
-           f"ts_{num_prime}/{mode}_{num_reduced}_samples_{num_obs}_obs")
-    store = ResultStore(f"{out_root}/{tag}", meta={
+           f"ts_{num_prime}/{mode_tag}_{num_reduced}_samples_{num_obs}_obs")
+    meta = {
         "workload": workload, "mode": mode, "noise": noise,
         "noise_level": noise_level, "num_reduced": num_reduced,
         "num_obs": num_obs, "num_prime": num_prime,
-        "num_configs": num_configs},
-        process_id=process_id, num_processes=num_processes)
+        "num_configs": num_configs}
+    if inner_budget is not None:
+        meta["inner_budget"] = list(inner_budget)
+    store = ResultStore(f"{out_root}/{tag}", meta=meta,
+                        process_id=process_id, num_processes=num_processes)
 
     rng = np.random.RandomState(0)
     seeds_all = rng.randint(1, 10000, size=num_configs)
@@ -227,6 +242,10 @@ def main(argv=None):
                    help="multi-host: probe hosts_alive every N chunks; "
                         "abort cleanly (resumable) on failure")
     p.add_argument("--heartbeat_timeout", type=float, default=30.0)
+    p.add_argument("--inner_budget", type=str, default=None,
+                   help="SxIT (e.g. 64x12): reduced inner-CEM budget for "
+                        "mmd_opt (the realtime operating point; store tag "
+                        "gains a _S{S}x{IT} suffix)")
     p.add_argument("--dispatch", choices=["pipeline", "batch", "mesh"],
                    default=None,
                    help="per-scenario async dispatch (default, faster), one "
@@ -234,6 +253,9 @@ def main(argv=None):
                         "sharded shard_map sweep over the device mesh with "
                         "per-process store shards (pod-scale path)")
     args = p.parse_args(argv)
+    inner_budget = None
+    if args.inner_budget:
+        inner_budget = tuple(int(v) for v in args.inner_budget.split("x"))
 
     logger = MetricLogger(args.metrics)
     for noise in args.noises:
@@ -247,7 +269,8 @@ def main(argv=None):
                                 np_, args.num_configs, args.out, args.chunk,
                                 args.acc_const_noise, args.steer_const_noise,
                                 logger, args.heartbeat_every,
-                                args.heartbeat_timeout, args.dispatch)
+                                args.heartbeat_timeout, args.dispatch,
+                                inner_budget)
                             n = sum(len(a["cx"]) for _, a in store.iter_chunks())
                             print(f"workload={args.workload} cost={mode} "
                                   f"reduced={n_red} obs={n_obs} ts={np_} "

@@ -173,12 +173,18 @@ def paired_stats(a: np.ndarray, b: np.ndarray, n_boot: int = 10000,
 
 
 def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
-                     out_root: str = "./stats", mesh: bool = False) -> dict:
+                     out_root: str = "./stats", mesh: bool = False,
+                     labels: list | None = None) -> dict:
     """Joint validation of one scenario config swept under several modes.
 
     All stores must share (workload, noise, noise_level, num_reduced,
     num_obs, num_prime); the mode differs.  Writes the reference's stats
     npz (validation.py:459-464) and returns the per-mode collision arrays.
+
+    ``labels`` overrides the per-store array labels (default: each store's
+    mode).  Required when two stores share a mode — e.g. certifying a
+    reduced-budget "realtime" mmd_opt sweep against the default-budget one,
+    where both stores are mmd_opt and the npz keys would collide.
     """
     stores = [ResultStore(r) for r in data_roots]
     metas = [s.meta for s in stores]
@@ -189,6 +195,13 @@ def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
             if m.get(k) != base.get(k):
                 raise ValueError(f"store mismatch on {k}: "
                                  f"{m.get(k)} != {base.get(k)}")
+    if labels is None:
+        labels = [m["mode"] for m in metas]
+    if len(labels) != len(stores):
+        raise ValueError(f"{len(labels)} labels for {len(stores)} stores")
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate labels {labels}; pass explicit "
+                         "--labels to disambiguate same-mode stores")
     num_obs = base["num_obs"]
     all_arrays = [s.concatenated() for s in stores]
     if any(len(a.get("cx", ())) == 0 for a in all_arrays):
@@ -202,7 +215,7 @@ def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
         else dynamic_workload
     out = {"n_common": int(n_common), "n_mc": n_mc, "modes": {}}
     npz_payload = {}
-    for meta, arrays, idx in zip(metas, all_arrays, joins):
+    for label, meta, arrays, idx in zip(labels, metas, all_arrays, joins):
         cfg = make(num_reduced=meta["num_reduced"], num_obs=meta["num_obs"],
                    noise=meta["noise"], noise_level=meta["noise_level"],
                    num_prime=meta["num_prime"], mode=meta["mode"])
@@ -216,7 +229,7 @@ def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
                           jax.random.PRNGKey(seed))
         coll = np.asarray(stats.coll_count)
         lane = np.asarray(stats.lane_count)
-        mode = meta["mode"]
+        mode = label
         npz_payload[f"coll_{mode}"] = coll
         npz_payload[f"coll_{mode}_lane"] = lane
         # store-row index of each joined scenario: lets reporting map a
@@ -235,7 +248,7 @@ def validate_compare(data_roots: list, n_mc: int = 1000, seed: int = 0,
     # gives aligned per-scenario samples, so Wilcoxon signed-rank + a
     # bootstrap CI on the mean difference settle "MMD beats CVaR" properly
     # instead of eyeballing means.
-    modes_list = [m["mode"] for m in metas]
+    modes_list = list(labels)
     out["pairs"] = {}
     for i in range(len(modes_list)):
         for j in range(i + 1, len(modes_list)):
@@ -289,10 +302,14 @@ def main(argv=None):
     p.add_argument("--mesh", action="store_true",
                    help="shard the MC validation over the device mesh "
                         "(per-solve results bitwise identical)")
+    p.add_argument("--labels", type=str, nargs="+", default=None,
+                   help="per-store array labels for --compare (default: "
+                        "each store's mode; required when stores share one)")
     args = p.parse_args(argv)
     if args.compare:
         out = validate_compare(args.data, args.n_mc, args.seed,
-                               args.out or "./stats", mesh=args.mesh)
+                               args.out or "./stats", mesh=args.mesh,
+                               labels=args.labels)
         print(json.dumps(out, indent=1))
     else:
         for root in args.data:

@@ -337,6 +337,44 @@ def test_sweep_and_stats_noise_dirs_agree(tmp_path, monkeypatch):
         assert "/noise_29/" in res["stats_path"].replace("\\", "/")
 
 
+def test_compare_same_mode_stores_with_labels(tmp_path, monkeypatch):
+    """Certification shape: two mmd-family stores of the SAME mode but
+    different inner-CEM budgets join under explicit labels (npz keys
+    coll_{label}); duplicate labels are refused."""
+    import dataclasses as _dc
+    import mpc_mmd_tpu.cli.sweep as sweep_cli
+    import mpc_mmd_tpu.cli.validate as validate_cli
+    import mpc_mmd_tpu.config as config_mod
+
+    orig_stat = config_mod.static_workload
+
+    def tiny_stat(**kw):
+        cfg = orig_stat(**kw)
+        return cfg.replace(cem=dataclasses.replace(cfg.cem, maxiter_cem=2))
+
+    monkeypatch.setattr(sweep_cli, "static_workload", tiny_stat)
+    monkeypatch.setattr(validate_cli, "static_workload", tiny_stat)
+    kw = dict(workload="static", mode="cvar", noise="gaussian",
+              noise_level=0.1, num_reduced=3, num_obs=2, num_prime=15,
+              num_configs=3, out_root=str(tmp_path / "data"), chunk=3)
+    r_def = sweep_cli.run_sweep(**kw)
+    r_rt = sweep_cli.run_sweep(**kw, inner_budget=(8, 2))
+    assert r_rt.root != r_def.root and "_S8x2_" in r_rt.root
+    assert r_rt.meta["inner_budget"] == [8, 2]
+
+    with pytest.raises(ValueError, match="duplicate labels"):
+        validate_cli.validate_compare([r_def.root, r_rt.root], n_mc=10,
+                                      out_root=str(tmp_path / "s0"))
+    res = validate_cli.validate_compare(
+        [r_def.root, r_rt.root], n_mc=10, out_root=str(tmp_path / "s1"),
+        labels=["default", "realtime"])
+    if res["n_common"]:
+        assert set(res["modes"]) == {"default", "realtime"}
+        assert "default_vs_realtime" in res["pairs"]
+        with np.load(res["stats_path"]) as z:
+            assert "coll_default" in z and "coll_realtime" in z
+
+
 def test_persistent_cache_tpu_only(monkeypatch, tmp_path):
     """The persistent XLA cache must stay disabled off-TPU: XLA:CPU AOT
     entries are keyed loosely enough to load under a mismatched host CPU
