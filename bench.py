@@ -129,6 +129,35 @@ def main():
         print(f"bench: latency extras failed ({type(e).__name__})",
               file=sys.stderr)
 
+    # Real-time operating point (config.realtime_workload: reduced
+    # inner-CEM budget, certified quality-neutral — artifacts/realtime/):
+    # record its latency distribution alongside the default preset's.
+    try:
+        from mpc_mmd_tpu import realtime_workload
+        from mpc_mmd_tpu.config import REALTIME_INNER_BUDGET
+
+        cfg_rt = realtime_workload(num_reduced=10, num_obs=6, num_prime=50,
+                                   mode="mmd_opt", noise="gaussian",
+                                   noise_level=0.1)
+        solver_rt, _, _ = _build(cfg_rt)
+        r = solver_rt.solve(0, init_state, mean, cov, xt1[0], yt1[0], 15.0)
+        np.asarray(r.cx)
+        lat = []
+        for k in range(10):
+            t0 = time.perf_counter()
+            r = solver_rt.solve(200 + k, init_state, mean, cov, xt1[0],
+                                yt1[0], 15.0)
+            np.asarray(r.cx)   # value-fetch fence (see headline loop)
+            lat.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "realtime_budget": "S%dx%d" % REALTIME_INNER_BUDGET,
+            "realtime_p50_ms": round(1e3 * float(np.percentile(lat, 50)), 2),
+            "realtime_p99_ms": round(1e3 * float(np.percentile(lat, 99)), 2),
+        }), file=sys.stderr)
+    except Exception as e:
+        print(f"bench: realtime extras failed ({type(e).__name__})",
+              file=sys.stderr)
+
     # Scenario batching interacts with HBM pressure (the inner-CEM gather
     # temps): measure batched rates only when explicitly requested.
     S_max = int(os.environ.get("BENCH_SCENARIOS", "1"))

@@ -195,6 +195,28 @@ def test_dynamic_workload_beta_noise_solve():
     assert np.isfinite(float(r.risk_obs))
 
 
+def test_realtime_workload_preset():
+    """realtime_workload = static_workload with the certified reduced
+    inner-CEM budget and nothing else changed; solves stay finite and
+    converge toward -ker_wt like the default preset."""
+    from mpc_mmd_tpu import realtime_workload, static_workload as sw
+    from mpc_mmd_tpu.config import REALTIME_INNER_BUDGET
+
+    cfg = realtime_workload(num_reduced=3, num_obs=2, num_prime=15)
+    assert (cfg.beta_cem.num_samples_cem,
+            cfg.beta_cem.maxiter) == REALTIME_INNER_BUDGET
+    base = sw(num_reduced=3, num_obs=2, num_prime=15)
+    assert cfg.replace(beta_cem=base.beta_cem) == base
+
+    tiny = cfg.replace(cem=dataclasses.replace(cfg.cem, maxiter_cem=2))
+    solver = Solver(tiny)
+    xt, yt = scenario(solver.ws)
+    r = solver.solve(7, INIT, MEAN, COV, xt, yt, 15.0)
+    assert np.all(np.isfinite(np.asarray(r.cx)))
+    assert float(r.risk_obs) < -0.5 * tiny.risk.ker_wt
+    assert float(jnp.sum(r.beta)) == pytest.approx(1.0, abs=1e-3)
+
+
 def test_matmul_precision_knob():
     """cfg.matmul_precision="highest" pins f32 contractions at trace time
     (on TPU "default" runs them as single-pass bf16 — see ProblemConfig).
