@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--actuation", default="direct", choices=["direct", "pid"],
                    help="pid = reference throttle/brake PID mapping "
                         "(carla/main_carla.py:25-71)")
+    p.add_argument("--inner_budget", type=str, default=None,
+                   help="SxIT (e.g. 64x12): reduced inner-CEM budget "
+                        "(config.realtime_workload operating point)")
     p.add_argument("--obstacles", type=str, nargs="*", default=None,
                    help="obstacles as s:l pairs along the route, e.g. "
                         "60:0 140:1.5 (default: the built-in pair). NOTE "
@@ -50,6 +53,11 @@ def main(argv=None):
     cfg = onroad_workload(num_reduced=args.num_reduced, num_obs=args.num_obs,
                           noise=args.noise, noise_level=args.noise_level,
                           num_prime=args.num_prime, mode=args.mode)
+    if args.inner_budget:
+        import dataclasses
+        S_b, it_b = (int(v) for v in args.inner_budget.split("x"))
+        cfg = cfg.replace(beta_cem=dataclasses.replace(
+            cfg.beta_cem, num_samples_cem=S_b, maxiter=it_b))
     solver = FrenetSolver(cfg)
 
     results = []

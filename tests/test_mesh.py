@@ -214,5 +214,28 @@ def test_mesh_dispatch_multiprocess_store_shards(tmp_path, monkeypatch):
                                   np.sort(ref.concatenated()["seeds"]))
 
 
+def test_initialize_distributed_single_process():
+    """Multi-host bring-up smoke test: initialize_distributed stands up the
+    coordinator and returns the process index (single-process form, the
+    degenerate pod).  Run in a subprocess — jax.distributed.initialize is
+    process-global state that must not leak into other tests."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from mpc_mmd_tpu.parallel.mesh import initialize_distributed\n"
+        "import jax\n"
+        "pid = initialize_distributed('localhost:12399', 1, 0)\n"
+        "assert pid == 0\n"
+        "assert jax.process_count() == 1\n"
+        "print('distributed-ok')\n")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "distributed-ok" in out.stdout
+
+
 def test_dryrun_entrypoint():
     dryrun(8)
