@@ -94,3 +94,69 @@ def cem_update(cfg: ProblemConfig, key: jax.Array, params_elite: jnp.ndarray,
     fresh = sample_params(key, mean, cov, c.num_batch - c.ellite_num, cfg)
     next_params = jnp.concatenate((params_elite, fresh), axis=0)
     return mean, cov, next_params
+
+
+# ---------------------------------------------------------------------------
+# 3-mode GMM initial-state ensemble (synthetic-workload variant).
+# Ref: synthetic_static_obs/optimizer/cem_helper.py:316-364 with the GMM
+# parameters from cem.py:145-153.  DEAD CODE in the reference's synthetic
+# workloads (never called by any solve path); the CARLA-used 2-parameter
+# variant is mpc_mmd_tpu/solver_frenet.py (noisy Frenet init states).
+# Re-implemented for component completeness, reference quirks preserved:
+#   * the SAME PRNG key drives both the MVN draw and the mode choice
+#     (cem_helper.py:321,345 reuse `key` after the unused split);
+#   * only x/y are actually perturbed — the v and psi perturbations are
+#     multiplied by 0 (cem_helper.py:359-360);
+#   * mode sub-ensembles assemble via fixed-size jnp.where whose zero fill
+#     duplicates row 0 of a mode when it draws fewer members than its
+#     preset share (sizes int(p_i * n) with mode 1 absorbing the remainder,
+#     cem.py:149-153).
+# ---------------------------------------------------------------------------
+
+GMM_INIT_PROBS = (0.4, 0.2, 0.4)
+GMM_INIT_MU = ((0.5, 0.0, 0.5, 0.0),
+               (0.5, -0.1, 0.9, 0.01),
+               (-0.2, 0.1, 1.0, -0.015))
+GMM_INIT_SIGMA = ((0.1, 0.1, 1.0, 0.1),
+                  (0.02, 0.01, 0.8, 0.05),
+                  (0.1, 0.01, 0.1, 0.01))
+
+
+def gmm_noisy_init_state(idx_mpc, x_init, y_init, vx_init, vy_init,
+                         n: int, probs=GMM_INIT_PROBS, mu=GMM_INIT_MU,
+                         sigma=GMM_INIT_SIGMA):
+    """n perturbed initial states from the 3-mode position GMM.
+
+    Returns (x, y, vx, vy, psi), each (n,).  See the block comment above
+    for the reference citation and the preserved quirks.
+    """
+    import jax
+
+    probs_a = jnp.asarray(probs)
+    mu_a = jnp.asarray(mu)          # (3, 4): [x, y, v, psi] per mode
+    sigma_a = jnp.asarray(sigma)
+
+    sizes = [int(float(p) * n) for p in probs]
+    sizes[0] = n - (sizes[1] + sizes[2])       # mode 1 absorbs remainder
+
+    key = jax.random.PRNGKey(idx_mpc)
+    key, _ = jax.random.split(key)             # subkey unused (ref :319)
+    eps = jax.random.multivariate_normal(key, jnp.zeros(4), jnp.eye(4), (n,))
+
+    # per-mode affine transforms of the shared standard draw: (3, n, 4)
+    per_mode = eps[None, :, :] * sigma_a[:, None, :] + mu_a[:, None, :]
+
+    modes = jnp.asarray([1, 2, 3])
+    weight_samples = jax.random.choice(key, modes, (n,), p=probs_a)
+    parts = [per_mode[m][jnp.where(weight_samples == m + 1,
+                                   size=sizes[m])[0]]
+             for m in range(3)]
+    eps_sel = jnp.concatenate(parts, axis=0)   # (n, 4)
+
+    v_init = jnp.sqrt(vx_init ** 2 + vy_init ** 2)
+    psi_init = jnp.arctan2(vy_init, vx_init)
+    x = x_init + eps_sel[:, 0]
+    y = y_init + eps_sel[:, 1]
+    v = v_init + 0.0 * eps_sel[:, 2]           # ref zeroes these (:359-360)
+    psi = psi_init + 0.0 * eps_sel[:, 3]
+    return x, y, v * jnp.cos(psi), v * jnp.sin(psi), psi

@@ -319,3 +319,24 @@ def test_dynamic_beta_mmd_single_iteration_control_parity():
     a_m, s_m = _controls(solver.ws, solver.cfg, r.cx, r.cy, T)
     assert np.max(np.abs(a_r - a_m)) <= 1e-3
     assert np.max(np.abs(s_r - s_m)) <= 1e-3
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference not importable")
+def test_gmm_noisy_init_state_parity():
+    """3-mode GMM initial-state ensemble vs the reference helper
+    (cem_helper.py:316-364, GMM params cem.py:145-153) — dead code in the
+    reference's synthetic workloads, re-implemented for completeness with
+    its quirks (shared key for draw+mode choice, zeroed v/psi
+    perturbations, fixed-size where assembly) preserved."""
+    from mpc_mmd_tpu.sampling import gmm_noisy_init_state
+
+    prob, _, _ = _ref(10, 50)
+    for idx_mpc in (0, 7, 123):
+        ref = prob.cem_helper.compute_noisy_init_state(
+            idx_mpc, 1.0, -0.5, 5.0, 0.3)
+        got = gmm_noisy_init_state(idx_mpc, 1.0, -0.5, 5.0, 0.3,
+                                   n=prob.num_reduced)
+        for a, b in zip(ref, got):
+            assert np.shape(a) == np.shape(b)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
