@@ -21,6 +21,54 @@ from ..closedloop import run_episode
 from ..solver_frenet import FrenetSolver
 
 
+def animate_episode(result, cfg, route_kind: str, out_path: str,
+                    fps: int = 10, stride: int = 2,
+                    window: float = 60.0) -> str:
+    """Birdview-style episode animation (GIF): ego-centered window with the
+    route, obstacle safety ellipses, ego trail and heading — the synthetic
+    counterpart of the reference's pygame HUD + birdeye overlay
+    (carla/carla_simulation.py:251-309)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+    from matplotlib.patches import Ellipse
+
+    from ..closedloop import make_route
+
+    rx, ry = make_route(route_kind)
+    ego = result.ego_trace
+    obs = result.obs_trace
+    frames = range(0, len(ego), stride)
+
+    fig, ax = plt.subplots(figsize=(7, 5))
+
+    def draw(k):
+        ax.clear()
+        x_e, y_e = ego[k, 0], ego[k, 1]
+        ax.plot(rx, ry, "k--", lw=0.7, alpha=0.6)
+        ax.plot(ego[:k + 1, 0], ego[:k + 1, 1], "b-", lw=1.4)
+        ax.plot(x_e, y_e, "b^", ms=9)
+        if obs.shape[1]:
+            for ox, oy in obs[k]:
+                ax.add_patch(Ellipse((ox, oy), 2 * cfg.obstacles.a_obs,
+                                     2 * cfg.obstacles.b_obs,
+                                     facecolor="tab:red", alpha=0.25,
+                                     edgecolor="tab:red"))
+                ax.plot(ox, oy, "rs", ms=5)
+        status = "COLLIDED" if (result.collided and k >= len(ego) - stride) \
+            else f"v={ego[k, 2]:.1f} m/s"
+        ax.set_title(f"step {k}/{len(ego)}  {status}")
+        ax.set_xlim(x_e - window * 0.3, x_e + window)
+        ax.set_ylim(y_e - window * 0.4, y_e + window * 0.4)
+        ax.set_aspect("equal")
+
+    anim = FuncAnimation(fig, draw, frames=frames)
+    anim.save(out_path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return out_path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="mmd_opt",
@@ -37,6 +85,9 @@ def main(argv=None):
     p.add_argument("--max_steps", type=int, default=400)
     p.add_argument("--goal_arc", type=float, default=300.0)
     p.add_argument("--plot", type=str, default=None)
+    p.add_argument("--animate", type=str, default=None,
+                   help="write a birdview-style GIF of the LAST episode "
+                        "(the CARLA HUD/birdeye overlay equivalent)")
     p.add_argument("--actuation", default="direct", choices=["direct", "pid"],
                    help="pid = reference throttle/brake PID mapping "
                         "(carla/main_carla.py:25-71)")
@@ -82,6 +133,9 @@ def main(argv=None):
     n_coll = sum(r.collided for r in results)
     print(json.dumps({"episodes": len(results), "collisions": n_coll,
                       "collision_rate": n_coll / len(results)}))
+
+    if args.animate and results:
+        print(animate_episode(results[-1], cfg, args.route, args.animate))
 
     if args.plot and results:
         import matplotlib

@@ -64,6 +64,12 @@ class EpisodeResult:
     min_obstacle_margin: float
     ego_trace: np.ndarray            # (steps, 5) [x, y, v, psi, steer]
     solve_times: List[float] = field(default_factory=list)
+    # (steps, num_world_obs, 2) obstacle xy per step — drives the
+    # birdview-style episode animation (the CARLA HUD/camera overlay
+    # equivalent, carla_simulation.py:251-309; see cli/closedloop
+    # --animate)
+    obs_trace: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0, 2)))
 
 
 class SyntheticPlant:
@@ -232,6 +238,7 @@ def run_episode(cfg: ProblemConfig, route_kind: str = "curved",
         actuator.prev_vel = float(plant.state[2])
 
     trace = []
+    obs_trace = []
     times = []
     collided = False
     min_margin = np.inf
@@ -308,6 +315,8 @@ def run_episode(cfg: ProblemConfig, route_kind: str = "curved",
             a_ctrl = actuator.step(a_ctrl, v_e)
         plant.step(a_ctrl, steer_ctrl)
         trace.append([*plant.state[:4], steer_ctrl])
+        obs_trace.append(plant.obstacles[:, :2].copy()
+                         if len(plant.obstacles) else np.zeros((0, 2)))
 
         margin = plant.obstacle_margin()
         min_margin = min(min_margin, margin)
@@ -319,4 +328,6 @@ def run_episode(cfg: ProblemConfig, route_kind: str = "curved",
                                     - np.array(make_route(route_kind))[:, 0]))
     return EpisodeResult(collided=collided, steps=i + 1, distance=distance,
                          min_obstacle_margin=float(min_margin),
-                         ego_trace=np.asarray(trace), solve_times=times)
+                         ego_trace=np.asarray(trace), solve_times=times,
+                         obs_trace=(np.stack(obs_trace) if obs_trace
+                                    else np.zeros((0, 0, 2))))

@@ -83,3 +83,18 @@ def test_perception_filter_and_padding():
     # obstacle behind the ego is filtered; padding dummy is far away
     assert obs[0][0] == pytest.approx(30.0, abs=1.0)
     assert np.linalg.norm(obs[1][:2]) > 300.0
+
+
+def test_episode_obs_trace_and_animation(tmp_path):
+    """Episodes record per-step obstacle positions; the birdview-style
+    animator (the CARLA HUD/birdeye overlay equivalent) renders a GIF."""
+    import os
+    from mpc_mmd_tpu.cli.closedloop import animate_episode
+
+    cfg = tiny("cvar")
+    r = run_episode(cfg, route_kind="curved", obstacles_s_l=((70.0, 0.0),),
+                    v_des=10.0, max_steps=8, goal_arc=150.0, seed=1)
+    assert r.obs_trace.shape == (r.steps, 1, 2)
+    out = animate_episode(r, cfg, "curved", str(tmp_path / "ep.gif"),
+                          stride=4)
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
