@@ -101,6 +101,11 @@ def main(argv=None):
                         "lane is geometrically impassable within the band")
     args = p.parse_args(argv)
 
+    # warm-start from the on-disk XLA cache (TPU-only; minutes -> seconds
+    # for every process after the first at a given config)
+    from ..utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     cfg = onroad_workload(num_reduced=args.num_reduced, num_obs=args.num_obs,
                           noise=args.noise, noise_level=args.noise_level,
                           num_prime=args.num_prime, mode=args.mode)

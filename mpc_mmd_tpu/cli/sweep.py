@@ -257,6 +257,10 @@ def main(argv=None):
     if args.inner_budget:
         inner_budget = tuple(int(v) for v in args.inner_budget.split("x"))
 
+    # warm-start from the on-disk XLA cache (TPU-only)
+    from ..utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     logger = MetricLogger(args.metrics)
     for noise in args.noises:
         for lvl in args.noise_levels:

@@ -306,6 +306,9 @@ def main(argv=None):
                    help="per-store array labels for --compare (default: "
                         "each store's mode; required when stores share one)")
     args = p.parse_args(argv)
+    # warm-start from the on-disk XLA cache (TPU-only)
+    from ..utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
     if args.compare:
         out = validate_compare(args.data, args.n_mc, args.seed,
                                args.out or "./stats", mesh=args.mesh,
