@@ -1,0 +1,68 @@
+"""Summarize the closed-loop discrimination matrix.
+
+Reads matrix_{mode}.json (per-episode JSONL, seeds = episode index shared
+across modes -> paired binary outcomes) and prints a collision-rate table
+plus exact McNemar tests (the correct paired test for binary outcomes)
+for mmd_opt vs each baseline.
+
+    python artifacts/closedloop_discrim/summarize.py
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+from scipy.stats import binom
+
+
+def load(path):
+    eps = [json.loads(l) for l in open(path) if l.strip()]
+    eps = [e for e in eps if "episode" in e]
+    return {e["episode"]: e for e in eps}
+
+
+def mcnemar_exact(a, b):
+    """Two-sided exact McNemar p-value for paired binary outcomes."""
+    d10 = int(np.sum(a & ~b))
+    d01 = int(np.sum(~a & b))
+    n = d10 + d01
+    if n == 0:
+        return 1.0, d10, d01
+    p = 2.0 * binom.cdf(min(d10, d01), n, 0.5)
+    return min(p, 1.0), d10, d01
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs = {}
+    for path in sorted(glob.glob(os.path.join(here, "matrix_*.json"))):
+        mode = os.path.basename(path)[len("matrix_"):-len(".json")]
+        eps = load(path)
+        if eps:
+            runs[mode] = eps
+    if not runs:
+        print("no matrix files")
+        return
+    common = sorted(set.intersection(*(set(v) for v in runs.values())))
+    print(f"modes: {sorted(runs)}  paired episodes: {len(common)}")
+    coll = {m: np.array([runs[m][e]["collided"] for e in common])
+            for m in runs}
+    margin = {m: np.array([runs[m][e]["min_margin"] for e in common])
+              for m in runs}
+    for m in sorted(runs):
+        lat = [runs[m][e]["mean_solve_ms"] for e in common]
+        print(f"{m:10s} collisions {int(coll[m].sum()):2d}/{len(common)}"
+              f"  median min_margin {np.median(margin[m]):+.3f}"
+              f"  mean solve {np.mean(lat):.0f} ms")
+    ref = "mmd_opt" if "mmd_opt" in runs else sorted(runs)[0]
+    for m in sorted(runs):
+        if m == ref:
+            continue
+        p, d10, d01 = mcnemar_exact(coll[ref], coll[m])
+        print(f"McNemar {ref} vs {m}: {ref}-only={d10} {m}-only={d01} "
+              f"p={p:.4f}")
+
+
+if __name__ == "__main__":
+    main()
