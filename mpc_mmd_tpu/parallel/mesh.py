@@ -269,6 +269,14 @@ def dryrun(n_devices: int) -> None:
     n_acc, mean_r, max_r = stats(risk, jnp.float32(1.0e9))
     assert int(n_acc) == S
 
+    # mesh-sharded MC validator on the sweep outputs (pod-scale
+    # sweep -> validate shape, BASELINE config 5)
+    validator = sharded_validator(cfg, ws, n_mc=8, mesh=mesh)
+    vstats, coll_total, lane_total = validator(
+        out.cx, out.cy, init_state, xt, yt, jax.random.PRNGKey(0))
+    assert vstats.coll_count.shape == (S,)
+    assert int(coll_total) == int(jnp.sum(vstats.coll_count))
+
     # latency mode: candidate axis of ONE solve sharded over the mesh
     from ..solver import Solver
     cmesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("candidates",))
