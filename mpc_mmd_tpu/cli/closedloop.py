@@ -31,7 +31,7 @@ def animate_episode(result, cfg, route_kind: str, out_path: str,
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from matplotlib.animation import FuncAnimation, PillowWriter
+    from matplotlib.animation import FuncAnimation
     from matplotlib.patches import Ellipse
 
     from ..closedloop import make_route
@@ -64,7 +64,9 @@ def animate_episode(result, cfg, route_kind: str, out_path: str,
         ax.set_aspect("equal")
 
     anim = FuncAnimation(fig, draw, frames=frames)
-    anim.save(out_path, writer=PillowWriter(fps=fps))
+    from .report import _animation_writer
+    out_path, writer = _animation_writer(out_path, fps)
+    anim.save(out_path, writer=writer)
     plt.close(fig)
     return out_path
 

@@ -196,14 +196,41 @@ def trajectories(data_root: str, out_path: str, n_mc: int = 200,
     return out_path
 
 
+def _animation_writer(out_path: str, fps: int):
+    """Pick the animation writer from the output extension.
+
+    ``.mp4`` renders through matplotlib's FFMpegWriter like the reference's
+    celluloid videos (synthetic_static_obs/plot_traj_video.py:395-418); when
+    no ffmpeg binary exists on the machine, fall back to a GIF next to the
+    requested path (PillowWriter ships with matplotlib) instead of failing
+    the render.  Returns (actual_out_path, writer).
+    """
+    import os
+    import sys
+
+    from matplotlib import animation
+
+    if out_path.lower().endswith(".mp4"):
+        if animation.FFMpegWriter.isAvailable():
+            return out_path, animation.FFMpegWriter(fps=fps)
+        out_gif = os.path.splitext(out_path)[0] + ".gif"
+        print(f"report: ffmpeg not available — writing {out_gif} instead of "
+              f"{out_path}", file=sys.stderr)
+        out_path = out_gif
+    return out_path, animation.PillowWriter(fps=fps)
+
+
 def animate(data_root: str, out_path: str, n_mc: int = 100,
             solve_idx: int = 0, seed: int = 0, fps: int = 10):
-    """Animated rollout-cloud video (GIF via PillowWriter) — the
-    plot_traj_video.py equivalent without the celluloid/mp4 dependency."""
+    """Animated rollout-cloud video — the plot_traj_video.py equivalent.
+
+    ``--out episode.mp4`` matches the reference's format
+    (plot_traj_video.py:395-418) when ffmpeg is installed; any other
+    extension (or no ffmpeg) renders a GIF via PillowWriter."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from matplotlib.animation import FuncAnimation, PillowWriter
+    from matplotlib.animation import FuncAnimation
 
     import jax
     import jax.numpy as jnp
@@ -260,7 +287,8 @@ def animate(data_root: str, out_path: str, n_mc: int = 100,
         return cloud, obs_sc, best
 
     anim = FuncAnimation(fig, frame, frames=T, blit=True)
-    anim.save(out_path, writer=PillowWriter(fps=fps))
+    out_path, writer = _animation_writer(out_path, fps)
+    anim.save(out_path, writer=writer)
     plt.close(fig)
     return out_path
 

@@ -86,7 +86,15 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         from ..parallel.mesh import (SCENARIO_AXIS, make_mesh, sharded_sweep,
                                      sweep_statistics)
         process_id, num_processes = jax.process_index(), jax.process_count()
-        mesh_obj = make_mesh()
+        # Multi-controller: each process executes ONLY the chunks it owns
+        # (cid % num_processes), so its shard_map must be a purely LOCAL
+        # program — a global mesh would (a) raise on device_put of
+        # process-local chunk arrays to non-addressable devices and
+        # (b) deadlock collectives, since the processes take disjoint chunk
+        # paths.  Single-process keeps the global mesh (same thing there).
+        # Exercised for real by tests/test_mesh.py's 2-process
+        # jax.distributed run.
+        mesh_obj = make_mesh(local=num_processes > 1)
         mesh_sweep = sharded_sweep(cfg, solver.ws, mesh_obj)
         mesh_stats = sweep_statistics(cfg, mesh_obj)
         n_dev = int(np.prod(mesh_obj.devices.shape))

@@ -290,9 +290,9 @@ def static_workload(num_reduced: int = 10, num_obs: int = 6, noise: str = "gauss
 # p50/p99 = 101/105 ms blocking (77 ms device) vs 184/235 ms (159 ms
 # device) for the default — inside the 0.15 s CARLA-loop budget
 # (carla_simulation.py:25) with margin even through the axon relay.
-# Quality: certified non-inferior to the default budget on the
-# discriminating acceptance cells (paired Wilcoxon on intersected
-# scenarios, artifacts/realtime/).
+# Quality: no significant difference vs the default budget on the
+# discriminating acceptance cells (paired Wilcoxon p=0.43 on intersected
+# scenarios, CI95 [-1.75%, +2.51%] collision diff; artifacts/realtime/).
 REALTIME_INNER_BUDGET = (64, 12)
 
 

@@ -33,8 +33,15 @@ SCENARIO_AXIS = "scenarios"
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis: str = SCENARIO_AXIS) -> Mesh:
-    devs = jax.devices()
+              axis: str = SCENARIO_AXIS, local: bool = False) -> Mesh:
+    """Build a 1-D scenario mesh.
+
+    ``local=True`` restricts the mesh to this process's addressable devices
+    — required when each process runs an independent (non-SPMD) slice of the
+    work, e.g. the sweep CLI's chunk-ownership dispatch, where a global mesh
+    would deadlock collectives across processes taking disjoint code paths.
+    """
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))

@@ -52,6 +52,12 @@ class ResultStore:
         else:
             self._manifest = {"meta": meta or {}, "chunks": {}}
             self._flush_manifest()
+        # peer-manifest parse cache keyed by path -> (mtime_ns, manifest):
+        # the sweep loop calls is_done() once per chunk, and re-parsing every
+        # peer manifest JSON each time is O(n_chunks * n_processes) reads
+        # over a (possibly shared/networked) filesystem.  mtime gating keeps
+        # reads correct under concurrent peer writes (os.replace bumps mtime).
+        self._peer_cache: Dict[str, Tuple[int, dict]] = {}
 
     @staticmethod
     def _manifest_name(pid: int) -> str:
@@ -70,6 +76,11 @@ class ResultStore:
         for path in sorted(glob.glob(os.path.join(self.root, "manifest*.json"))):
             if os.path.abspath(path) == os.path.abspath(self._manifest_path):
                 continue
+            mtime = os.stat(path).st_mtime_ns
+            cached = self._peer_cache.get(path)
+            if cached is not None and cached[0] == mtime:
+                out.append(cached[1])
+                continue
             with open(path) as f:
                 m = json.load(f)
             if (m.get("meta") and self._manifest.get("meta")
@@ -77,6 +88,7 @@ class ResultStore:
                 raise ValueError(
                     f"peer manifest {path} holds different meta "
                     f"({m['meta']} != {self._manifest['meta']})")
+            self._peer_cache[path] = (mtime, m)
             out.append(m)
         return out
 

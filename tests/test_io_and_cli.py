@@ -70,6 +70,43 @@ def test_store_multiprocess_shards(tmp_path):
         s_bad.done_chunks()
 
 
+def test_store_peer_cache_sees_fresh_writes(tmp_path):
+    """The peer-manifest mtime cache (ADVICE r3) must never serve stale
+    state: a peer chunk landing after the cache is populated shows up on
+    the next is_done/done_chunks call."""
+    root = str(tmp_path / "s")
+    meta = {"mode": "cvar"}
+    s0 = ResultStore(root, meta=meta, process_id=0, num_processes=2)
+    s1 = ResultStore(root, meta=meta, process_id=1, num_processes=2)
+    s1.write_chunk(1, a=np.ones(1))
+    assert s0.is_done(1)              # populates s0's peer cache
+    assert not s0.is_done(3)
+    s1.write_chunk(3, a=np.ones(1))   # peer manifest rewritten on disk
+    assert s0.is_done(3)              # mtime bump invalidates the cache
+    # cache hit path: repeated queries parse the peer manifest once
+    assert s0.done_chunks() == [1, 3]
+    assert s0.done_chunks() == [1, 3]
+
+
+def test_animation_writer_mp4_selection(tmp_path):
+    """MP4 parity with the reference's plot_traj_video.py: FFMpegWriter when
+    ffmpeg exists, honest GIF fallback otherwise; plain .gif untouched."""
+    from matplotlib import animation
+
+    from mpc_mmd_tpu.cli.report import _animation_writer
+
+    out, w = _animation_writer(str(tmp_path / "ep.gif"), fps=5)
+    assert out.endswith("ep.gif") and isinstance(w, animation.PillowWriter)
+
+    out, w = _animation_writer(str(tmp_path / "ep.mp4"), fps=5)
+    if animation.FFMpegWriter.isAvailable():
+        assert out.endswith("ep.mp4")
+        assert isinstance(w, animation.FFMpegWriter)
+    else:
+        assert out.endswith("ep.gif")
+        assert isinstance(w, animation.PillowWriter)
+
+
 def test_metric_logger(tmp_path):
     path = str(tmp_path / "m.jsonl")
     logger = MetricLogger(path)
