@@ -48,7 +48,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
               heartbeat_every: int = 0,
               heartbeat_timeout_s: float = 30.0,
               dispatch: str | None = None,
-              inner_budget: tuple | None = None) -> ResultStore:
+              inner_budget: tuple | None = None,
+              outer_budget: tuple | None = None) -> ResultStore:
     """dispatch: "pipeline" (default; per-scenario async dispatch — measured
     6.12 vs 5.23 solves/s in bench.py and 2.93 vs 2.47 in-situ through the
     relay on v5e-lite, ~17-19% depending on measurement context), "batch"
@@ -77,6 +78,14 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         S_b, it_b = inner_budget
         cfg = cfg.replace(beta_cem=_dc.replace(
             cfg.beta_cem, num_samples_cem=S_b, maxiter=it_b))
+    if outer_budget is not None:
+        # reduced OUTER-CEM budget (num_batch x maxiter_cem — the "fast"
+        # operating point, round-4 certification; reference constants at
+        # synthetic_static_obs/optimizer/cem.py:88-89,137-140)
+        import dataclasses as _dc
+        B_b, it_b = outer_budget
+        cfg = cfg.replace(cem=_dc.replace(
+            cfg.cem, num_batch=B_b, maxiter_cem=it_b))
     solver = Solver(cfg)
 
     process_id, num_processes = 0, 1
@@ -115,6 +124,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
     # the pipeline must agree on the directory for every representable level.
     mode_tag = mode if inner_budget is None else \
         f"{mode}_S{inner_budget[0]}x{inner_budget[1]}"
+    if outer_budget is not None:
+        mode_tag += f"_B{outer_budget[0]}x{outer_budget[1]}"
     tag = (f"{workload}/{noise}_noise/noise_{round(noise_level * 100)}/"
            f"ts_{num_prime}/{mode_tag}_{num_reduced}_samples_{num_obs}_obs")
     meta = {
@@ -124,6 +135,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         "num_configs": num_configs}
     if inner_budget is not None:
         meta["inner_budget"] = list(inner_budget)
+    if outer_budget is not None:
+        meta["outer_budget"] = list(outer_budget)
     store = ResultStore(f"{out_root}/{tag}", meta=meta,
                         process_id=process_id, num_processes=num_processes)
 
@@ -254,6 +267,10 @@ def main(argv=None):
                    help="SxIT (e.g. 64x12): reduced inner-CEM budget for "
                         "mmd_opt (the realtime operating point; store tag "
                         "gains a _S{S}x{IT} suffix)")
+    p.add_argument("--outer_budget", type=str, default=None,
+                   help="BxIT (e.g. 64x12): reduced outer-CEM budget "
+                        "(num_batch x maxiter_cem; the fast operating "
+                        "point; store tag gains a _B{B}x{IT} suffix)")
     p.add_argument("--dispatch", choices=["pipeline", "batch", "mesh"],
                    default=None,
                    help="per-scenario async dispatch (default, faster), one "
@@ -264,6 +281,9 @@ def main(argv=None):
     inner_budget = None
     if args.inner_budget:
         inner_budget = tuple(int(v) for v in args.inner_budget.split("x"))
+    outer_budget = None
+    if args.outer_budget:
+        outer_budget = tuple(int(v) for v in args.outer_budget.split("x"))
 
     # warm-start from the on-disk XLA cache (TPU-only)
     from ..utils.compilation_cache import enable_persistent_cache
@@ -282,7 +302,7 @@ def main(argv=None):
                                 args.acc_const_noise, args.steer_const_noise,
                                 logger, args.heartbeat_every,
                                 args.heartbeat_timeout, args.dispatch,
-                                inner_budget)
+                                inner_budget, outer_budget)
                             n = sum(len(a["cx"]) for _, a in store.iter_chunks())
                             print(f"workload={args.workload} cost={mode} "
                                   f"reduced={n_red} obs={n_obs} ts={np_} "

@@ -398,6 +398,9 @@ def test_compare_same_mode_stores_with_labels(tmp_path, monkeypatch):
     r_rt = sweep_cli.run_sweep(**kw, inner_budget=(8, 2))
     assert r_rt.root != r_def.root and "_S8x2_" in r_rt.root
     assert r_rt.meta["inner_budget"] == [8, 2]
+    r_fast = sweep_cli.run_sweep(**kw, outer_budget=(16, 2))
+    assert "_B16x2_" in r_fast.root
+    assert r_fast.meta["outer_budget"] == [16, 2]
 
     with pytest.raises(ValueError, match="duplicate labels"):
         validate_cli.validate_compare([r_def.root, r_rt.root], n_mc=10,
