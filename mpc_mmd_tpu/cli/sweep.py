@@ -49,7 +49,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
               heartbeat_timeout_s: float = 30.0,
               dispatch: str | None = None,
               inner_budget: tuple | None = None,
-              outer_budget: tuple | None = None) -> ResultStore:
+              outer_budget: tuple | None = None,
+              accept_all: bool = False) -> ResultStore:
     """dispatch: "pipeline" (default; per-scenario async dispatch — measured
     6.12 vs 5.23 solves/s in bench.py and 2.93 vs 2.47 in-situ through the
     relay on v5e-lite, ~17-19% depending on measurement context), "batch"
@@ -116,7 +117,13 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
             batch = dynamic_cutin(cfg, num_configs)
 
     init_state, mean, cov, v_des = ego_initial_state(workload)
-    threshold = accept_threshold(mode, cfg.risk.ker_wt)
+    # accept_all persists EVERY solve (threshold +inf) with its risk_obs,
+    # so any acceptance rule — the reference's asymmetric thresholds
+    # (main_mpc.py:86-97), symmetric accept-all, or an MC-validated cutoff
+    # — can be re-derived downstream (the harmonized-acceptance control,
+    # VERDICT r3 item 3)
+    threshold = np.inf if accept_all else \
+        accept_threshold(mode, cfg.risk.ker_wt)
 
     # round(), not int(): 0.29 * 100 == 28.999... and int() would put the
     # sweep in noise_28/ while cli/validate.py's stats layout (which already
@@ -126,6 +133,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         f"{mode}_S{inner_budget[0]}x{inner_budget[1]}"
     if outer_budget is not None:
         mode_tag += f"_B{outer_budget[0]}x{outer_budget[1]}"
+    if accept_all:
+        mode_tag += "_all"
     tag = (f"{workload}/{noise}_noise/noise_{round(noise_level * 100)}/"
            f"ts_{num_prime}/{mode_tag}_{num_reduced}_samples_{num_obs}_obs")
     meta = {
@@ -137,6 +146,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         meta["inner_budget"] = list(inner_budget)
     if outer_budget is not None:
         meta["outer_budget"] = list(outer_budget)
+    if accept_all:
+        meta["accept_all"] = True
     store = ResultStore(f"{out_root}/{tag}", meta=meta,
                         process_id=process_id, num_processes=num_processes)
 
@@ -271,6 +282,10 @@ def main(argv=None):
                    help="BxIT (e.g. 64x12): reduced outer-CEM budget "
                         "(num_batch x maxiter_cem; the fast operating "
                         "point; store tag gains a _B{B}x{IT} suffix)")
+    p.add_argument("--accept_all", action="store_true",
+                   help="persist EVERY solve (no acceptance threshold); "
+                        "store tag gains an _all suffix — acceptance rules "
+                        "are re-derived downstream from risk_obs")
     p.add_argument("--dispatch", choices=["pipeline", "batch", "mesh"],
                    default=None,
                    help="per-scenario async dispatch (default, faster), one "
@@ -302,7 +317,8 @@ def main(argv=None):
                                 args.acc_const_noise, args.steer_const_noise,
                                 logger, args.heartbeat_every,
                                 args.heartbeat_timeout, args.dispatch,
-                                inner_budget, outer_budget)
+                                inner_budget, outer_budget,
+                                args.accept_all)
                             n = sum(len(a["cx"]) for _, a in store.iter_chunks())
                             print(f"workload={args.workload} cost={mode} "
                                   f"reduced={n_red} obs={n_obs} ts={np_} "
