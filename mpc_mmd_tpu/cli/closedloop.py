@@ -96,6 +96,10 @@ def main(argv=None):
     p.add_argument("--inner_budget", type=str, default=None,
                    help="SxIT (e.g. 64x12): reduced inner-CEM budget "
                         "(config.realtime_workload operating point)")
+    p.add_argument("--outer_budget", type=str, default=None,
+                   help="BxIT (e.g. 64x12): reduced outer-CEM budget "
+                        "(num_batch x maxiter_cem; the fast operating "
+                        "point, artifacts/fast/)")
     p.add_argument("--obstacles", type=str, nargs="*", default=None,
                    help="obstacles as s:l pairs along the route, e.g. "
                         "60:0 140:1.5 (default: the built-in pair). NOTE "
@@ -116,6 +120,11 @@ def main(argv=None):
         S_b, it_b = (int(v) for v in args.inner_budget.split("x"))
         cfg = cfg.replace(beta_cem=dataclasses.replace(
             cfg.beta_cem, num_samples_cem=S_b, maxiter=it_b))
+    if args.outer_budget:
+        import dataclasses
+        B_b, it_b = (int(v) for v in args.outer_budget.split("x"))
+        cfg = cfg.replace(cem=dataclasses.replace(
+            cfg.cem, num_batch=B_b, maxiter_cem=it_b))
     solver = FrenetSolver(cfg)
 
     results = []
