@@ -32,6 +32,13 @@ import numpy as np
 
 
 class ResultStore:
+    # Meta keys that describe the sweep's EXTENT rather than the scenario
+    # identity: a resumed sweep may legitimately grow them (config k's
+    # chunk contents are seeded per config, independent of the total), so
+    # they are excluded from the mix-refusal identity check and bumped to
+    # the max seen on reopen.
+    EXTENT_KEYS = ("num_configs",)
+
     def __init__(self, root: str, meta: Optional[dict] = None,
                  process_id: int = 0, num_processes: int = 1):
         if not (0 <= process_id < num_processes):
@@ -45,10 +52,17 @@ class ResultStore:
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
                 self._manifest = json.load(f)
-            if meta and self._manifest.get("meta") not in (None, meta):
+            prev = self._manifest.get("meta")
+            if meta and prev is not None and \
+                    self._meta_core(prev) != self._meta_core(meta):
                 raise ValueError(
                     f"store at {root} was created with different meta "
-                    f"({self._manifest.get('meta')} != {meta}); refusing to mix")
+                    f"({prev} != {meta}); refusing to mix")
+            if meta and prev is not None:
+                for k in self.EXTENT_KEYS:
+                    if k in meta and meta[k] != prev.get(k):
+                        prev[k] = max(meta[k], prev.get(k, meta[k]))
+                        self._flush_manifest()
         else:
             self._manifest = {"meta": meta or {}, "chunks": {}}
             self._flush_manifest()
@@ -62,6 +76,10 @@ class ResultStore:
     @staticmethod
     def _manifest_name(pid: int) -> str:
         return "manifest.json" if pid == 0 else f"manifest_p{pid:03d}.json"
+
+    @classmethod
+    def _meta_core(cls, m: dict) -> dict:
+        return {k: v for k, v in m.items() if k not in cls.EXTENT_KEYS}
 
     def _flush_manifest(self) -> None:
         tmp = self._manifest_path + ".tmp"
@@ -84,7 +102,8 @@ class ResultStore:
             with open(path) as f:
                 m = json.load(f)
             if (m.get("meta") and self._manifest.get("meta")
-                    and m["meta"] != self._manifest["meta"]):
+                    and self._meta_core(m["meta"])
+                    != self._meta_core(self._manifest["meta"])):
                 raise ValueError(
                     f"peer manifest {path} holds different meta "
                     f"({m['meta']} != {self._manifest['meta']})")

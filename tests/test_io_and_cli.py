@@ -33,6 +33,23 @@ def test_store_resume(tmp_path):
         ResultStore(root, meta={"x": 2})
 
 
+def test_store_extent_growth(tmp_path):
+    """num_configs is sweep EXTENT, not scenario identity: extending a
+    200-config sweep to 600 reopens the store (chunk contents are seeded
+    per config) and bumps the recorded extent; identity keys still refuse
+    to mix."""
+    root = str(tmp_path / "s")
+    ResultStore(root, meta={"mode": "cvar", "num_configs": 200}).write_chunk(
+        0, a=np.ones(2))
+    s2 = ResultStore(root, meta={"mode": "cvar", "num_configs": 600})
+    assert s2.is_done(0) and s2.meta["num_configs"] == 600
+    # shrinking keeps the max seen
+    s3 = ResultStore(root, meta={"mode": "cvar", "num_configs": 100})
+    assert s3.meta["num_configs"] == 600
+    with pytest.raises(ValueError):
+        ResultStore(root, meta={"mode": "saa", "num_configs": 600})
+
+
 def test_store_multiprocess_shards(tmp_path):
     """Multi-host write isolation (io_store docstring claim): each process
     writes only its own chunk files + manifest; readers merge all process
