@@ -313,6 +313,41 @@ def realtime_workload(num_reduced: int = 10, num_obs: int = 6,
         cfg.beta_cem, num_samples_cem=S, maxiter=it))
 
 
+# The certified fast OUTER-CEM operating point (VERDICT r3 item 2).  The
+# reference's num_batch=100 x maxiter_cem=20 (synthetic_static_obs/optimizer/
+# cem.py:88-89,137-140) is a tuning constant, not spec — the same class the
+# realtime cert traded on the inner loop.  Measured on v5e-lite
+# (artifacts/fast/outer_grid.jsonl): B=64 x 12 iterations runs 18.5 solves/s
+# p50/p99 = 75/76 ms blocking (54 ms device) vs 6.3 solves/s 182/184 ms for
+# the default — a 2.9x throughput gain.  Quality (artifacts/fast/pooled.json,
+# paired MC validation over the two noise-heaviest beta N=5 cells, pooled
+# n=282): the fast budget is significantly SAFER than the default —
+# collision-rate difference −2.86 pp, CI95 [−4.41, −1.30], Wilcoxon p=3e−5
+# (the default's extra iterations over-converge the sampling distribution
+# onto finite-sample risk-estimate noise; 64x14 shows the same sign at
+# −2.02 pp, p=0.0014).  A >2.5 pp regression is excluded with margin.
+FAST_OUTER_BUDGET = (64, 12)
+
+
+def fast_workload(num_reduced: int = 10, num_obs: int = 6,
+                  noise: str = "gaussian", noise_level: float = 0.1,
+                  num_prime: int = 50, mode: str = "mmd_opt",
+                  acc_const_noise: float = 0.0,
+                  steer_const_noise: float = 0.0) -> ProblemConfig:
+    """static_workload at the certified fast outer-CEM budget (see
+    FAST_OUTER_BUDGET).  Inner-CEM budget stays at the reference default;
+    stack realtime_workload's inner budget on top for the combined point
+    (certified as quality-neutral, CI95 [−3.03, +0.59] pp)."""
+    cfg = static_workload(num_reduced=num_reduced, num_obs=num_obs,
+                          noise=noise, noise_level=noise_level,
+                          num_prime=num_prime, mode=mode,
+                          acc_const_noise=acc_const_noise,
+                          steer_const_noise=steer_const_noise)
+    B, it = FAST_OUTER_BUDGET
+    return cfg.replace(cem=dataclasses.replace(
+        cfg.cem, num_batch=B, maxiter_cem=it))
+
+
 def dynamic_workload(num_reduced: int = 10, num_obs: int = 6, noise: str = "beta",
                      noise_level: float = 0.3, num_prime: int = 50,
                      mode: str = "mmd_opt", acc_const_noise: float = 0.0,

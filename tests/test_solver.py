@@ -217,6 +217,31 @@ def test_realtime_workload_preset():
     assert float(jnp.sum(r.beta)) == pytest.approx(1.0, abs=1e-3)
 
 
+def test_fast_workload_preset():
+    """fast_workload = static_workload with the certified fast OUTER-CEM
+    budget (num_batch x maxiter_cem) and nothing else changed — notably the
+    inner-CEM budget and ellite counts stay at the reference defaults
+    (synthetic_static_obs/optimizer/cem.py:88-89,137-140)."""
+    from mpc_mmd_tpu import fast_workload, static_workload as sw
+    from mpc_mmd_tpu.config import FAST_OUTER_BUDGET
+
+    cfg = fast_workload(num_reduced=3, num_obs=2, num_prime=15)
+    assert (cfg.cem.num_batch, cfg.cem.maxiter_cem) == FAST_OUTER_BUDGET
+    base = sw(num_reduced=3, num_obs=2, num_prime=15)
+    assert cfg.replace(cem=base.cem) == base
+    assert cfg.cem.ellite_num == base.cem.ellite_num
+    assert cfg.cem.ellite_num_cost == base.cem.ellite_num_cost
+    assert cfg.beta_cem == base.beta_cem
+
+    tiny = cfg.replace(cem=dataclasses.replace(cfg.cem, maxiter_cem=2))
+    solver = Solver(tiny)
+    xt, yt = scenario(solver.ws)
+    r = solver.solve(7, INIT, MEAN, COV, xt, yt, 15.0)
+    assert np.all(np.isfinite(np.asarray(r.cx)))
+    assert float(r.risk_obs) < -0.5 * tiny.risk.ker_wt
+    assert float(jnp.sum(r.beta)) == pytest.approx(1.0, abs=1e-3)
+
+
 def test_matmul_precision_knob():
     """cfg.matmul_precision="highest" pins f32 contractions at trace time
     (on TPU "default" runs them as single-pass bf16 — see ProblemConfig).
