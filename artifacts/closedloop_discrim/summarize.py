@@ -5,12 +5,17 @@ across modes -> paired binary outcomes) and prints a collision-rate table
 plus exact McNemar tests (the correct paired test for binary outcomes)
 for mmd_opt vs each baseline.
 
-    python artifacts/closedloop_discrim/summarize.py
+    python artifacts/closedloop_discrim/summarize.py [glob]
+
+The optional glob (default "matrix_*.json") selects the matrix family —
+e.g. "matrix_beta_*.json" for the beta-noise matrix, which would
+otherwise be mixed in with the gaussian one.
 """
 
 import glob
 import json
 import os
+import sys
 
 import numpy as np
 from scipy.stats import binom
@@ -35,12 +40,17 @@ def mcnemar_exact(a, b):
 
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
+    pattern = sys.argv[1] if len(sys.argv) > 1 else "matrix_*.json"
+    prefix = pattern.split("*")[0]
     runs = {}
-    for path in sorted(glob.glob(os.path.join(here, "matrix_*.json"))):
-        mode = os.path.basename(path)[len("matrix_"):-len(".json")]
+    for path in sorted(glob.glob(os.path.join(here, pattern))):
+        name = os.path.basename(path)[len(prefix):-len(".json")]
+        # keep the two matrix families apart under the default glob
+        if prefix == "matrix_" and name.startswith("beta_"):
+            continue
         eps = load(path)
         if eps:
-            runs[mode] = eps
+            runs[name] = eps
     if not runs:
         print("no matrix files")
         return

@@ -88,9 +88,14 @@ def _relay_rtt_ms(n: int = 7) -> float:
     tiny = jnp.ones(1)
     np.asarray(tiny)                      # materialize before timing
     ts = []
-    for _ in range(n):
+    for k in range(n):
+        # a FRESH device array each probe — re-fetching the same array hits
+        # jax's host-side copy cache and times 0 ms without touching the
+        # relay (observed: relay_rtt_ms 0.0 in an otherwise-healthy run)
+        probe = tiny + float(k)
+        probe.block_until_ready()
         t0 = time.perf_counter()
-        np.asarray(tiny)
+        np.asarray(probe)
         ts.append(time.perf_counter() - t0)
     return 1e3 * float(np.median(ts))
 

@@ -10,7 +10,8 @@ ceiling" section.
 
 Peaks default to TPU v5e (the v5e-lite bench chip): 197 TFLOP/s bf16 /
 ~98 TFLOP/s f32, 819 GB/s HBM; override with MFU_PEAK_TFLOPS /
-MFU_PEAK_GBS for other parts.  One JSON line to stdout.
+MFU_PEAK_GBS for other parts.  MFU_PRESET selects the operating point
+(default | fast | realtime).  One JSON line to stdout.
 """
 
 import json
@@ -30,11 +31,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mpc_mmd_tpu import Solver, static_workload
+    from mpc_mmd_tpu import (Solver, fast_workload, realtime_workload,
+                             static_workload)
     from mpc_mmd_tpu.dynamics import constant_velocity_obstacles
 
-    cfg = static_workload(num_reduced=10, num_obs=6, num_prime=50,
-                          mode="mmd_opt", noise="gaussian", noise_level=0.1)
+    preset = os.environ.get("MFU_PRESET", "default")
+    make = {"default": static_workload, "fast": fast_workload,
+            "realtime": realtime_workload}[preset]
+    cfg = make(num_reduced=10, num_obs=6, num_prime=50,
+               mode="mmd_opt", noise="gaussian", noise_level=0.1)
     solver = Solver(cfg)
     rng = np.random.default_rng(0)
     grid = np.array([35, 40, 45, 50, 55, 60, 65, 70, 75], dtype=np.float64)
@@ -70,6 +75,7 @@ def main():
     achieved_tflops = flops / dev_s / 1e12
     achieved_gbs = bytes_acc / dev_s / 1e9
     print(json.dumps({
+        "preset": preset,
         "device": jax.devices()[0].device_kind,
         "xla_flops_per_solve": flops,
         "xla_bytes_accessed_per_solve": bytes_acc,
