@@ -72,6 +72,20 @@ def main():
         p, d10, d01 = mcnemar_exact(coll[ref], coll[m])
         print(f"McNemar {ref} vs {m}: {ref}-only={d10} {m}-only={d01} "
               f"p={p:.4f}")
+    # secondary continuous endpoint: paired min safety-ellipse margins
+    # (collisions can be null at n=20 while clearance behavior differs —
+    # the beta matrix found exactly that, see SUMMARY.md round-4 section)
+    from scipy.stats import wilcoxon
+    for m in sorted(runs):
+        if m == ref:
+            continue
+        d = margin[ref] - margin[m]
+        try:
+            p = float(wilcoxon(margin[ref], margin[m]).pvalue)
+        except ValueError:          # all-zero differences
+            p = 1.0
+        print(f"Wilcoxon min_margin {ref} vs {m}: mean diff {d.mean():+.3f}"
+              f" median {np.median(d):+.3f} p={p:.4f}")
 
 
 if __name__ == "__main__":
