@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(HERE, "..", ".."))
 
 from mpc_mmd_tpu.cli.validate import paired_stats          # noqa: E402
 
-ARMS = ("fast64x14", "fast64x12", "fast64x10", "fastrt64x12")
+ARMS = ("fast64x14", "fast64x12", "fast64x10", "fastrt64x12", "fastrt64x10")
 BASELINE_ARM = "mmd_opt"
 
 

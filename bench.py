@@ -4,16 +4,18 @@ Problem shape pinned to BASELINE.json: mmd_opt cost, num_prime=50,
 6 obstacles, num_reduced=10 (mother set = 100 rollouts), gaussian noise
 0.1 — the reference's heaviest workload shape.
 
-The headline runs the CERTIFIED FAST OUTER BUDGET (config.fast_workload:
-num_batch=64 x maxiter_cem=12 vs the reference's 100 x 20).  This is a
-like-for-like capability comparison, not a shortcut: the paired MC
-certification (artifacts/fast/pooled.json, two beta N=5 cells, pooled
-n=282) measured the fast budget SIGNIFICANTLY SAFER than the reference's
-default budget (collision-rate diff -2.86 pp, CI95 [-4.41, -1.30],
-Wilcoxon p=3e-5) — the reference's extra iterations over-converge the
-sampling distribution onto finite-sample risk-estimate noise.  The
-reference-budget rate is still measured and reported in the combined
-record (default_budget_solves_per_s + its latency block) for cross-round
+The headline runs the CERTIFIED COMBINED BUDGET (config.fastrt_workload:
+outer CEM num_batch=64 x maxiter_cem=10 + inner beta-CEM S=64 x 12, vs
+the reference's 100x20 outer and 100x20 inner).  This is a like-for-like
+capability comparison, not a shortcut: the paired MC certification
+(artifacts/fast/pooled.json, two beta N=5 cells at 600 configs each,
+pooled n=279) measured this budget SIGNIFICANTLY SAFER than the
+reference's default budget (collision-rate diff -2.42 pp, CI95
+[-4.03, -0.81], Wilcoxon p=7e-4, favorable in both cells individually) —
+the reference's extra iterations over-converge the sampling distribution
+onto finite-sample risk-estimate noise.  The reference-budget rate is
+still measured and reported in the combined record
+(default_budget_solves_per_s + its latency block) for cross-round
 continuity.
 
 Prints ONE JSON line to stdout:
@@ -170,11 +172,12 @@ def main():
 
     import jax.numpy as jnp
 
-    from mpc_mmd_tpu import fast_workload, static_workload
-    from mpc_mmd_tpu.config import FAST_OUTER_BUDGET, REALTIME_INNER_BUDGET
+    from mpc_mmd_tpu import fastrt_workload, static_workload
+    from mpc_mmd_tpu.config import (FASTRT_OUTER_BUDGET,
+                                    REALTIME_INNER_BUDGET)
 
-    cfg = fast_workload(num_reduced=10, num_obs=6, num_prime=50,
-                        mode="mmd_opt", noise="gaussian", noise_level=0.1)
+    cfg = fastrt_workload(num_reduced=10, num_obs=6, num_prime=50,
+                          mode="mmd_opt", noise="gaussian", noise_level=0.1)
     solver, scenarios, (init_state, mean, cov) = _build(cfg)
     reps = int(os.environ.get("BENCH_REPS", "5"))
 
@@ -208,8 +211,8 @@ def main():
 
     headline = {
         "metric": "mmd_opt MPC solves/s (num_prime=50, 6 obs, reduced set"
-                  " 10/100, certified fast outer budget 64x12 — measured"
-                  " significantly safer than the reference budget,"
+                  " 10/100, certified combined budget B64x10+S64x12 —"
+                  " measured significantly safer than the reference budget,"
                   " artifacts/fast/pooled.json)",
         "value": round(solves_per_s, 3),
         "unit": "solves/s",
@@ -236,9 +239,10 @@ def main():
         combined["relay_rtt_ms"] = round(rtt, 1)
 
         f = _robust_latency(solver, solve_args, 100, lat_reps, rtt)
-        print(f"bench: fast-preset latency {f}", file=sys.stderr)
+        print(f"bench: headline(fastrt)-preset latency {f}", file=sys.stderr)
         combined.update({
-            "fast_budget": "B%dx%d" % FAST_OUTER_BUDGET,
+            "fast_budget": "B%dx%d+S%dx%d" % (FASTRT_OUTER_BUDGET
+                                              + REALTIME_INNER_BUDGET),
             "fast_p50_ms": f["p50_ms"], "fast_p99_ms": f["p99_ms"],
             "fast_p99_ms_raw": f["p99_ms_raw"],
             "fast_device_ms": f["device_ms"],

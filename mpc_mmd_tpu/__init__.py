@@ -10,8 +10,8 @@ MMD / CVaR / SAA risk costs with optimized reduced-set selection.
 from .config import (BetaCEMConfig, CEMOuterConfig, GuessConfig, HorizonConfig,
                      LaneConfig, NoiseConfig, ObstacleConfig, ProblemConfig,
                      ProjectionConfig, RiskConfig, VehicleConfig,
-                     dynamic_workload, fast_workload, realtime_workload,
-                     static_workload)
+                     dynamic_workload, fast_workload, fastrt_workload,
+                     realtime_workload, static_workload)
 from .qp import Workspace, build_workspace
 from .solver import SolveResult, Solver
 
@@ -19,8 +19,8 @@ __all__ = [
     "BetaCEMConfig", "CEMOuterConfig", "GuessConfig", "HorizonConfig",
     "LaneConfig", "NoiseConfig", "ObstacleConfig", "ProblemConfig",
     "ProjectionConfig", "RiskConfig", "VehicleConfig",
-    "dynamic_workload", "fast_workload", "realtime_workload",
-    "static_workload",
+    "dynamic_workload", "fast_workload", "fastrt_workload",
+    "realtime_workload", "static_workload",
     "Workspace", "build_workspace", "SolveResult", "Solver",
 ]
 

@@ -321,11 +321,11 @@ def realtime_workload(num_reduced: int = 10, num_obs: int = 6,
 # p50/p99 = 75/76 ms blocking (54 ms device) vs 6.3 solves/s 182/184 ms for
 # the default — a 2.9x throughput gain.  Quality (artifacts/fast/pooled.json,
 # paired MC validation over the two noise-heaviest beta N=5 cells, pooled
-# n=282): the fast budget is significantly SAFER than the default —
-# collision-rate difference −2.86 pp, CI95 [−4.41, −1.30], Wilcoxon p=3e−5
+# n=279): the fast budget is significantly SAFER than the default —
+# collision-rate difference −3.04 pp, CI95 [−4.58, −1.47], Wilcoxon p=1.7e−5
 # (the default's extra iterations over-converge the sampling distribution
 # onto finite-sample risk-estimate noise; 64x14 shows the same sign at
-# −2.02 pp, p=0.0014).  A >2.5 pp regression is excluded with margin.
+# −2.04 pp, p=0.0016).  A >2.5 pp regression is excluded with margin.
 FAST_OUTER_BUDGET = (64, 12)
 
 
@@ -346,6 +346,40 @@ def fast_workload(num_reduced: int = 10, num_obs: int = 6,
     B, it = FAST_OUTER_BUDGET
     return cfg.replace(cem=dataclasses.replace(
         cfg.cem, num_batch=B, maxiter_cem=it))
+
+
+# The certified COMBINED operating point: fast outer budget pushed one step
+# further down the grid (B=64 x maxiter_cem=10) stacked on the realtime
+# inner-CEM budget (S=64 x 12).  Measured on v5e-lite
+# (artifacts/fast/outer_grid.jsonl): 36.2 solves/s, p50/p99 = 52/58 ms
+# blocking, 27.7 ms device — 5.7x the reference-budget rate.  Quality
+# (artifacts/fast/pooled.json, same 600-config/cell paired MC protocol,
+# pooled n=279): significantly SAFER than the reference budget —
+# collision-rate difference −2.42 pp, CI95 [−4.03, −0.81], Wilcoxon
+# p=7e−4, the favorable sign holding in both cells individually (beta 0.2
+# p=0.026, beta 0.3 p=0.0098).  A >2.5 pp regression is excluded.
+FASTRT_OUTER_BUDGET = (64, 10)
+
+
+def fastrt_workload(num_reduced: int = 10, num_obs: int = 6,
+                    noise: str = "gaussian", noise_level: float = 0.1,
+                    num_prime: int = 50, mode: str = "mmd_opt",
+                    acc_const_noise: float = 0.0,
+                    steer_const_noise: float = 0.0) -> ProblemConfig:
+    """static_workload at the certified combined budget: outer CEM at
+    FASTRT_OUTER_BUDGET (64x10) + inner beta-CEM at REALTIME_INNER_BUDGET
+    (64x12) — the fastest certified arm (cert label ``fastrt64x10``)."""
+    cfg = static_workload(num_reduced=num_reduced, num_obs=num_obs,
+                          noise=noise, noise_level=noise_level,
+                          num_prime=num_prime, mode=mode,
+                          acc_const_noise=acc_const_noise,
+                          steer_const_noise=steer_const_noise)
+    B, it_o = FASTRT_OUTER_BUDGET
+    S, it_i = REALTIME_INNER_BUDGET
+    return cfg.replace(
+        cem=dataclasses.replace(cfg.cem, num_batch=B, maxiter_cem=it_o),
+        beta_cem=dataclasses.replace(cfg.beta_cem, num_samples_cem=S,
+                                     maxiter=it_i))
 
 
 def dynamic_workload(num_reduced: int = 10, num_obs: int = 6, noise: str = "beta",

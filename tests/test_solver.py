@@ -242,6 +242,31 @@ def test_fast_workload_preset():
     assert float(jnp.sum(r.beta)) == pytest.approx(1.0, abs=1e-3)
 
 
+def test_fastrt_workload_preset():
+    """fastrt_workload = static_workload with the certified combined budget
+    (outer FASTRT_OUTER_BUDGET + inner REALTIME_INNER_BUDGET) and nothing
+    else changed — the cert arm fastrt64x10 (artifacts/fast/pooled.json)."""
+    from mpc_mmd_tpu import fastrt_workload, static_workload as sw
+    from mpc_mmd_tpu.config import FASTRT_OUTER_BUDGET, REALTIME_INNER_BUDGET
+
+    cfg = fastrt_workload(num_reduced=3, num_obs=2, num_prime=15)
+    assert (cfg.cem.num_batch, cfg.cem.maxiter_cem) == FASTRT_OUTER_BUDGET
+    assert (cfg.beta_cem.num_samples_cem,
+            cfg.beta_cem.maxiter) == REALTIME_INNER_BUDGET
+    base = sw(num_reduced=3, num_obs=2, num_prime=15)
+    assert cfg.replace(cem=base.cem, beta_cem=base.beta_cem) == base
+    assert cfg.cem.ellite_num == base.cem.ellite_num
+    assert cfg.cem.ellite_num_cost == base.cem.ellite_num_cost
+
+    tiny = cfg.replace(cem=dataclasses.replace(cfg.cem, maxiter_cem=2))
+    solver = Solver(tiny)
+    xt, yt = scenario(solver.ws)
+    r = solver.solve(7, INIT, MEAN, COV, xt, yt, 15.0)
+    assert np.all(np.isfinite(np.asarray(r.cx)))
+    assert float(r.risk_obs) < -0.5 * tiny.risk.ker_wt
+    assert float(jnp.sum(r.beta)) == pytest.approx(1.0, abs=1e-3)
+
+
 def test_matmul_precision_knob():
     """cfg.matmul_precision="highest" pins f32 contractions at trace time
     (on TPU "default" runs them as single-pass bf16 — see ProblemConfig).
