@@ -11,7 +11,7 @@ ceiling" section.
 Peaks default to TPU v5e (the v5e-lite bench chip): 197 TFLOP/s bf16 /
 ~98 TFLOP/s f32, 819 GB/s HBM; override with MFU_PEAK_TFLOPS /
 MFU_PEAK_GBS for other parts.  MFU_PRESET selects the operating point
-(default | fast | realtime).  One JSON line to stdout.
+(default | fast | fastrt | realtime).  One JSON line to stdout.
 """
 
 import json
@@ -31,13 +31,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mpc_mmd_tpu import (Solver, fast_workload, realtime_workload,
-                             static_workload)
+    from mpc_mmd_tpu import (Solver, fast_workload, fastrt_workload,
+                             realtime_workload, static_workload)
     from mpc_mmd_tpu.dynamics import constant_velocity_obstacles
 
     preset = os.environ.get("MFU_PRESET", "default")
     make = {"default": static_workload, "fast": fast_workload,
-            "realtime": realtime_workload}[preset]
+            "fastrt": fastrt_workload, "realtime": realtime_workload}[preset]
     cfg = make(num_reduced=10, num_obs=6, num_prime=50,
                mode="mmd_opt", noise="gaussian", noise_level=0.1)
     solver = Solver(cfg)
