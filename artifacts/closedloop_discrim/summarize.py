@@ -65,26 +65,27 @@ def main():
         print(f"{m:10s} collisions {int(coll[m].sum()):2d}/{len(common)}"
               f"  median min_margin {np.median(margin[m]):+.3f}"
               f"  mean solve {np.mean(lat):.0f} ms")
+    # ALL mode pairs, mmd_opt-first when present (ADVICE r4: SUMMARY cites
+    # cvar-vs-det numbers, so every cited pair must be reproducible here)
+    import itertools
     ref = "mmd_opt" if "mmd_opt" in runs else sorted(runs)[0]
-    for m in sorted(runs):
-        if m == ref:
-            continue
-        p, d10, d01 = mcnemar_exact(coll[ref], coll[m])
-        print(f"McNemar {ref} vs {m}: {ref}-only={d10} {m}-only={d01} "
+    order = [ref] + sorted(m for m in runs if m != ref)
+    pairs = list(itertools.combinations(order, 2))
+    for a, b in pairs:
+        p, d10, d01 = mcnemar_exact(coll[a], coll[b])
+        print(f"McNemar {a} vs {b}: {a}-only={d10} {b}-only={d01} "
               f"p={p:.4f}")
     # secondary continuous endpoint: paired min safety-ellipse margins
     # (collisions can be null at n=20 while clearance behavior differs —
     # the beta matrix found exactly that, see SUMMARY.md round-4 section)
     from scipy.stats import wilcoxon
-    for m in sorted(runs):
-        if m == ref:
-            continue
-        d = margin[ref] - margin[m]
+    for a, b in pairs:
+        d = margin[a] - margin[b]
         try:
-            p = float(wilcoxon(margin[ref], margin[m]).pvalue)
+            p = float(wilcoxon(margin[a], margin[b]).pvalue)
         except ValueError:          # all-zero differences
             p = 1.0
-        print(f"Wilcoxon min_margin {ref} vs {m}: mean diff {d.mean():+.3f}"
+        print(f"Wilcoxon min_margin {a} vs {b}: mean diff {d.mean():+.3f}"
               f" median {np.median(d):+.3f} p={p:.4f}")
 
 

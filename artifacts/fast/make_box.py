@@ -29,8 +29,12 @@ def main():
         with np.load(path) as z:
             n_mc = int(z["n_mc"])
             data = [z[f"coll_{a}"] / n_mc * 100.0 for a in ARMS]
-        bp = ax.boxplot(data, tick_labels=ARMS, showmeans=True,
-                        showfliers=False, widths=0.7)
+        try:
+            bp = ax.boxplot(data, tick_labels=ARMS, showmeans=True,
+                            showfliers=False, widths=0.7)
+        except TypeError:   # matplotlib < 3.9 spells the kwarg "labels"
+            bp = ax.boxplot(data, labels=ARMS, showmeans=True,
+                            showfliers=False, widths=0.7)
         for lbl in ax.get_xticklabels():
             if lbl.get_text() in PROMOTED:
                 lbl.set_fontweight("bold")

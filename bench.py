@@ -20,9 +20,16 @@ continuity.
 
 Prints ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
-vs_baseline is the speedup over the reference implementation's measured
-solves/s on CPU (benchmarks/reference_cpu_baseline.json — the reference
-publishes no numbers and supports no accelerator, SURVEY.md §6).
+vs_baseline is the SAME-BUDGET speedup over the reference implementation's
+measured solves/s on CPU with its budget attributes set to the certified
+combined budget (benchmarks/reference_cpu_fastrt_budget.json; the
+reference publishes no numbers and supports no accelerator, SURVEY.md §6).
+The default-budget ratio — both sides at the reference's 100x20/100x20 —
+is reported as vs_baseline_default_budget in the combined record, so both
+apples-to-apples comparisons are always on file (VERDICT r4 weak #1).
+warmup_s records the first-solve latency (compile or persistent-cache
+hit); run `python -m mpc_mmd_tpu.cli.prewarm` on a fresh machine to
+populate the cache ahead of serving.
 
 Structure is headline-first: ONE program variant (single-stream S=1) is
 compiled (against the persistent XLA compilation cache, so only the very
@@ -192,7 +199,8 @@ def main():
     t0 = time.perf_counter()
     out = solver.solve(0, init_state, mean, cov, xt1[0], yt1[0], 15.0)
     np.asarray(out.cx)
-    print(f"bench: warmup (compile or cache hit) {time.perf_counter()-t0:.1f}s",
+    warmup_s = time.perf_counter() - t0
+    print(f"bench: warmup (compile or cache hit) {warmup_s:.1f}s",
           file=sys.stderr)
     t0 = time.perf_counter()
     for r in range(reps * 2):
@@ -200,23 +208,38 @@ def main():
     np.asarray(out.cx)
     solves_per_s = reps * 2 / (time.perf_counter() - t0)
 
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "benchmarks", "reference_cpu_baseline.json")
-    vs_baseline = None
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            ref = json.load(f)
-        if ref.get("solves_per_s"):
-            vs_baseline = solves_per_s / ref["solves_per_s"]
+    # Two reference-CPU baselines (VERDICT r4 weak #1: the single ratio was
+    # budget-asymmetric).  The HEADLINE vs_baseline is now SAME-BUDGET: the
+    # reference run with its budget attributes set to the certified combined
+    # budget (benchmarks/measure_reference_fastrt.py -> 0.0959 solves/s on
+    # CPU) against our rate at that same budget.  The default-budget ratio
+    # (both sides at the reference's 100x20/100x20) lands in the combined
+    # record as vs_baseline_default_budget.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks")
+
+    def _ref_rate(name):
+        path = os.path.join(bench_dir, name)
+        if os.path.exists(path):
+            with open(path) as f:
+                r = json.load(f)
+            return r.get("solves_per_s") or None
+        return None
+
+    ref_fastrt = _ref_rate("reference_cpu_fastrt_budget.json")
+    ref_default = _ref_rate("reference_cpu_baseline.json")
+    vs_baseline = solves_per_s / ref_fastrt if ref_fastrt else None
 
     headline = {
         "metric": "mmd_opt MPC solves/s (num_prime=50, 6 obs, reduced set"
                   " 10/100, certified combined budget B64x10+S64x12 —"
                   " measured significantly safer than the reference budget,"
-                  " artifacts/fast/pooled.json)",
+                  " artifacts/fast/pooled.json; vs_baseline is SAME-budget:"
+                  " reference CPU at B64x10+S64x12)",
         "value": round(solves_per_s, 3),
         "unit": "solves/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "warmup_s": round(warmup_s, 1),
     }
     print(json.dumps(headline))
     sys.stdout.flush()
@@ -263,8 +286,14 @@ def main():
             r = solver_def.solve(k + 1, init_state, mean, cov, xt1[0],
                                  yt1[0], 15.0)
         np.asarray(r.cx)
-        combined["default_budget_solves_per_s"] = round(
-            reps * 2 / (time.perf_counter() - t0), 3)
+        default_rate = reps * 2 / (time.perf_counter() - t0)
+        combined["default_budget_solves_per_s"] = round(default_rate, 3)
+        # both ratios, each at ITS OWN budget on both sides (see headline
+        # comment): same-budget (certified combined) + default-budget
+        combined["vs_baseline_same_budget"] = (
+            round(solves_per_s / ref_fastrt, 3) if ref_fastrt else None)
+        combined["vs_baseline_default_budget"] = (
+            round(default_rate / ref_default, 3) if ref_default else None)
         d = _robust_latency(solver_def, solve_args, 100, lat_reps, rtt)
         print(f"bench: default-preset latency {d}", file=sys.stderr)
         combined.update({

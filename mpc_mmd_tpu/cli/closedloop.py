@@ -90,6 +90,10 @@ def main(argv=None):
     p.add_argument("--animate", type=str, default=None,
                    help="write a birdview-style GIF of the LAST episode "
                         "(the CARLA HUD/birdeye overlay equivalent)")
+    p.add_argument("--seed_base", type=int, default=0,
+                   help="episode seed offset (episode seed = seed_base + "
+                        "episode index); a nonzero base gives an "
+                        "independent replication set of paired scenarios")
     p.add_argument("--actuation", default="direct", choices=["direct", "pid"],
                    help="pid = reference throttle/brake PID mapping "
                         "(carla/main_carla.py:25-71)")
@@ -135,12 +139,13 @@ def main(argv=None):
                 tuple(float(v) for v in o.split(":")) for o in args.obstacles)
         r = run_episode(cfg, route_kind=args.route, v_des=args.v_des,
                         max_steps=args.max_steps, goal_arc=args.goal_arc,
-                        seed=ep, solver=solver, actuation=args.actuation,
-                        **kw)
+                        seed=args.seed_base + ep, solver=solver,
+                        actuation=args.actuation, **kw)
         results.append(r)
         times = r.solve_times[1:] or r.solve_times
         print(json.dumps({
-            "episode": ep, "collided": r.collided, "steps": r.steps,
+            "episode": args.seed_base + ep, "collided": r.collided,
+            "steps": r.steps,
             "min_margin": round(r.min_obstacle_margin, 3),
             "mean_solve_ms": round(1e3 * float(np.mean(times)), 2),
             "p99_solve_ms": round(1e3 * float(np.percentile(times, 99)), 2),

@@ -183,10 +183,20 @@ class RiskConfig:
     weight_saa_obs: float = 1.0e6
     # desired-lane risk (zero in every reference config; carla cem.py:172-176)
     weight_lane_des: float = 0.0
+    # MMD kernel family.  The reference ships gaussian and matern52
+    # commented out (synthetic_static_obs/kernel_computation.py:21-53);
+    # here they are config-reachable: kernels.kernel_of evaluates the
+    # chosen kind from the cached distance matrices in reduced_set.py and
+    # from the scalar violation distances in risk.py/kernels.mmd_vs_zero.
+    kernel: str = "laplace"      # "laplace" | "gaussian" | "matern52"
 
     def __post_init__(self):
         if self.mode not in RISK_MODES:
             raise ValueError(f"risk mode must be one of {RISK_MODES}, got {self.mode!r}")
+        from .kernels import KERNEL_KINDS
+        if self.kernel not in KERNEL_KINDS:
+            raise ValueError(f"kernel must be one of {KERNEL_KINDS}, "
+                             f"got {self.kernel!r}")
 
     @property
     def num_mother(self) -> int:

@@ -58,8 +58,34 @@ def matern52_kernel(dists_l1: jnp.ndarray, dists_l2sq: jnp.ndarray,
     return (1.0 + r1 + 5.0 * dists_l2sq / (3.0 * sigma ** 2)) * jnp.exp(-r1)
 
 
+KERNEL_KINDS = ("laplace", "gaussian", "matern52")
+
+
+def kernel_of(kind: str, sigma, d1=None, d2sq=None) -> jnp.ndarray:
+    """Evaluate the configured kernel from precomputed distance tensors.
+
+    The selectable-kernel plumbing (``RiskConfig.kernel``): every kernel in
+    the family is a cheap elementwise map of iteration-constant pairwise
+    distances, so callers cache d1 = pairwise L1 and (only when the kind
+    needs it) d2sq = pairwise squared L2, and bandwidth sweeps reduce to
+    this function.  ``sigma`` may be scalar or broadcast against the
+    distance tensors.  Ref: kernel_computation.py:21-53 (the reference
+    ships the Gaussian/Matern variants commented out; here they are
+    config-reachable).
+    """
+    if kind == "laplace":
+        return laplace_kernel(d1, sigma)
+    if kind == "gaussian":
+        return gaussian_kernel(d2sq, sigma)
+    if kind == "matern52":
+        return matern52_kernel(d1, d2sq, sigma)
+    raise ValueError(f"unknown kernel kind {kind!r} (expected one of "
+                     f"{KERNEL_KINDS})")
+
+
 def blockwise_mmd_vs_zero(beta: jnp.ndarray, cost: jnp.ndarray, sigma,
-                          ker_wt: float, block: int = 1024) -> jnp.ndarray:
+                          ker_wt: float, block: int = 1024,
+                          kind: str = "laplace") -> jnp.ndarray:
     """MMD-vs-zero for very large sample ensembles without materializing the
     (N, N) Gram matrix.
 
@@ -97,10 +123,10 @@ def blockwise_mmd_vs_zero(beta: jnp.ndarray, cost: jnp.ndarray, sigma,
         if jnp.ndim(sigma):
             s2 = jnp.broadcast_to(jnp.asarray(sigma), batch).reshape(-1)
             out = jax.vmap(lambda b, c, s: blockwise_mmd_vs_zero(
-                b, c, s, ker_wt, block))(b2, c2, s2)
+                b, c, s, ker_wt, block, kind))(b2, c2, s2)
         else:
             out = jax.vmap(lambda b, c: blockwise_mmd_vs_zero(
-                b, c, sigma, ker_wt, block))(b2, c2)
+                b, c, sigma, ker_wt, block, kind))(b2, c2)
         return out.reshape(batch)
     n = cost.shape[-1]
     if n % block:
@@ -118,32 +144,37 @@ def blockwise_mmd_vs_zero(beta: jnp.ndarray, cost: jnp.ndarray, sigma,
     def row_block(acc, i):
         ci = jax.lax.dynamic_index_in_dim(cost_b, i, keepdims=False)
         bi = jax.lax.dynamic_index_in_dim(beta_b, i, keepdims=False)
-        K_rows = jnp.exp(-jnp.abs(ci[:, None] - cost.reshape(-1)[None, :])
-                         / sigma)
+        d = jnp.abs(ci[:, None] - cost.reshape(-1)[None, :])
+        K_rows = kernel_of(kind, sigma, d, d * d)
         return acc + bi @ (K_rows @ beta.reshape(-1)), None
 
     acc0 = jnp.zeros((), jnp.result_type(beta.dtype, cost.dtype))
     quad, _ = jax.lax.scan(row_block, acc0, jnp.arange(nb))
-    cross = jnp.sum(beta * jnp.exp(-jnp.abs(cost) / sigma), axis=-1)
+    d_ab = jnp.abs(cost)
+    cross = jnp.sum(beta * kernel_of(kind, sigma, d_ab, d_ab * d_ab), axis=-1)
     return ker_wt * (quad - 2.0 * cross)
 
 
 def mmd_vs_zero(beta: jnp.ndarray, cost: jnp.ndarray, sigma,
-                ker_wt: float) -> jnp.ndarray:
+                ker_wt: float, kind: str = "laplace") -> jnp.ndarray:
     """MMD^2 cost of weighted samples ``cost`` against the all-zeros ideal set.
 
     mmd = ker_wt * (beta^T K_aa beta - 2 beta^T K_ab beta_uniform)
-    with K_aa[i,j] = exp(-|c_i - c_j|/sigma) and — because the target set is
-    identically zero — every column of K_ab equal to exp(-|c_i|/sigma), so the
-    cross term collapses to a dot product.  The target-target term is dropped
-    exactly as in the reference (kernel_computation.py:82-84).
+    with K_aa[i,j] = k(c_i, c_j) and — because the target set is identically
+    zero — every column of K_ab equal to k(c_i, 0), so the cross term
+    collapses to a dot product.  The target-target term is dropped exactly
+    as in the reference (kernel_computation.py:82-84).  ``kind`` selects the
+    kernel (RiskConfig.kernel): samples here are SCALAR violation values, so
+    the L2^2 distance for the gaussian/matern52 variants is just the squared
+    L1 distance.
 
     beta, cost: (..., k);  sigma scalar or (...,).  Returns (...).
     """
     d_aa = jnp.abs(cost[..., :, None] - cost[..., None, :])
     sig = jnp.asarray(sigma)[..., None, None] if jnp.ndim(sigma) else sigma
-    K_aa = jnp.exp(-d_aa / sig)
+    K_aa = kernel_of(kind, sig, d_aa, d_aa * d_aa)
     quad = jnp.einsum("...i,...ij,...j->...", beta, K_aa, beta)
     sig1 = jnp.asarray(sigma)[..., None] if jnp.ndim(sigma) else sigma
-    cross = jnp.sum(beta * jnp.exp(-jnp.abs(cost) / sig1), axis=-1)
+    d_ab = jnp.abs(cost)
+    cross = jnp.sum(beta * kernel_of(kind, sig1, d_ab, d_ab * d_ab), axis=-1)
     return ker_wt * (quad - 2.0 * cross)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .config import ProblemConfig
-from .kernels import pairwise_l1
+from .kernels import kernel_of, pairwise_l1, pairwise_l2sq
 from .linalg import eq_qp_solve
 
 
@@ -208,6 +208,11 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
 
     feats = jnp.concatenate((cx, cy), axis=1)               # (M, 2*nvar)
     D = pairwise_l1(feats, feats)                            # (M, M) — once!
+    # non-laplace kernels (RiskConfig.kernel) additionally need the squared
+    # L2 distances; both matrices are iteration-constant, so the selectable
+    # kernel stays a gather + elementwise map (kernels.kernel_of)
+    kind = cfg.risk.kernel
+    D2 = pairwise_l2sq(feats, feats) if kind != "laplace" else None
 
     # "prefactored" (production) strategy swaps the CEM resampling for an
     # exact low-rank reformulation: the elite covariance is
@@ -258,14 +263,24 @@ def select_reduced_set(cfg: ProblemConfig, cx: jnp.ndarray, cy: jnp.ndarray,
             onehot = (idx_top[:, :, None]
                       == jnp.arange(M)[None, None, :]).astype(D.dtype)
             rows = jnp.einsum("skr,rm->skm", onehot, D)      # (S, k, M)
-            K_mixed = jnp.exp(-rows / sigma[:, None, None])
+            if kind == "laplace":
+                K_mixed = jnp.exp(-rows / sigma[:, None, None])
+            else:
+                rows2 = jnp.einsum("skr,rm->skm", onehot, D2)
+                K_mixed = kernel_of(kind, sigma[:, None, None], rows, rows2)
+            # column sub-selection commutes with ANY elementwise kernel map
             K_red = jnp.einsum("skm,sjm->skj", K_mixed, onehot)
         else:
             rows = D[idx_top]                                # (S, k, M)
-            K_mixed = jnp.exp(-rows / sigma[:, None, None])
-            sub = jnp.take_along_axis(
-                rows, jnp.broadcast_to(idx_top[:, None, :], (S, k, k)), axis=2)
-            K_red = jnp.exp(-sub / sigma[:, None, None])
+            idx_bc = jnp.broadcast_to(idx_top[:, None, :], (S, k, k))
+            if kind == "laplace":
+                K_mixed = jnp.exp(-rows / sigma[:, None, None])
+                sub = jnp.take_along_axis(rows, idx_bc, axis=2)
+                K_red = jnp.exp(-sub / sigma[:, None, None])
+            else:
+                rows2 = D2[idx_top]
+                K_mixed = kernel_of(kind, sigma[:, None, None], rows, rows2)
+                K_red = jnp.take_along_axis(K_mixed, idx_bc, axis=2)
 
         row_sum = jnp.sum(K_mixed, axis=2)                   # (S, k)
         beta_opt, cost = _beta_qp(K_red, row_sum, M, cfg)    # (S, k), (S,)
@@ -383,6 +398,12 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
     if selection not in ("xla", "xt", "fused", "g"):
         raise ValueError(f"unknown selection {selection!r} "
                          "(expected 'xla', 'xt', 'fused' or 'g')")
+    kind = cfg.risk.kernel
+    if kind != "laplace" and selection in ("fused", "g"):
+        # the Pallas megakernel and the reduce-before-gather formulation
+        # hard-code the Laplace exp; non-laplace kernels take the default
+        # XLA selection chain (A/B-only paths anyway, PROFILE_NOTES)
+        selection = "xla"
     # "xt": the lane-major chain.  K_red is emitted directly in the QP
     # kernel's (k, k, C*S) layout via a transposed-output einsum (the big
     # C*S dims land on the tiled minor axes -> 1.5x padding instead of the
@@ -403,6 +424,10 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
 
     feats = jnp.concatenate((cx, cy), axis=2)               # (C, M, 2*nvar)
     D = pairwise_l1(feats, feats)                            # (C, M, M)
+    # squared-L2 distances only when the configured kernel needs them
+    # (RiskConfig.kernel; the selection gathers below run on BOTH matrices
+    # then, kernels.kernel_of maps the pair to K)
+    D2 = pairwise_l2sq(feats, feats) if kind != "laplace" else None
 
     key0, _ = jax.random.split(jax.random.PRNGKey(0))
     init_key, _ = jax.random.split(key0)
@@ -493,7 +518,11 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
             onehot = (idx_top[..., None]
                       == jnp.arange(M)).astype(D.dtype)      # (C, Ss, k, M)
             rows = jnp.einsum("cskr,crm->cskm", onehot, D)
-            K_mixed = jnp.exp(-rows / sigma[..., None, None])
+            if kind == "laplace":
+                K_mixed = jnp.exp(-rows / sigma[..., None, None])
+            else:
+                rows2 = jnp.einsum("cskr,crm->cskm", onehot, D2)
+                K_mixed = kernel_of(kind, sigma[..., None, None], rows, rows2)
             K_red_t = jnp.einsum("cskm,csjm->kjcs", K_mixed, onehot)
             row_sum_t = jnp.einsum("cskm->kcs", K_mixed)
             beta_t, cost = _beta_qp_t(K_red_t.reshape(k, k, Cc * Ss),
@@ -513,7 +542,11 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
             onehot = (idx_top[..., None]
                       == jnp.arange(M)).astype(D.dtype)      # (C, Ss, k, M)
             rows = jnp.einsum("cskr,crm->cskm", onehot, D)
-            K_mixed = jnp.exp(-rows / sigma[..., None, None])
+            if kind == "laplace":
+                K_mixed = jnp.exp(-rows / sigma[..., None, None])
+            else:
+                rows2 = jnp.einsum("cskr,crm->cskm", onehot, D2)
+                K_mixed = kernel_of(kind, sigma[..., None, None], rows, rows2)
             K_red = jnp.einsum("cskm,csjm->cskj", K_mixed, onehot)
             row_sum = jnp.sum(K_mixed, axis=-1)
         if not lane_major:
@@ -606,7 +639,12 @@ def select_reduced_set_batched(cfg: ProblemConfig, cx: jnp.ndarray,
             onehot0 = (idx0_1[..., None]
                        == jnp.arange(M)).astype(D.dtype)     # (S, k, M)
             rows0 = jnp.einsum("skr,crm->cskm", onehot0, D)
-            K_mixed0 = jnp.exp(-rows0 / sigma0[None, :, None, None])
+            if kind == "laplace":
+                K_mixed0 = jnp.exp(-rows0 / sigma0[None, :, None, None])
+            else:
+                rows0_2 = jnp.einsum("skr,crm->cskm", onehot0, D2)
+                K_mixed0 = kernel_of(kind, sigma0[None, :, None, None],
+                                     rows0, rows0_2)
             if lane_major:
                 K_red0_t = jnp.einsum("cskm,sjm->kjcs", K_mixed0, onehot0)
                 row_sum0_t = jnp.einsum("cskm->kcs", K_mixed0)

@@ -76,15 +76,18 @@ def mmd_obs(cfg: ProblemConfig, beta: jnp.ndarray, sigma: jnp.ndarray,
             x_obs: jnp.ndarray, y_obs: jnp.ndarray) -> jnp.ndarray:
     """Ref: costs.py:173-186."""
     viol = f_bar_obs(cfg, x_roll, y_roll, x_obs, y_obs)
-    return mmd_vs_zero(beta, viol, sigma, cfg.risk.ker_wt)
+    return mmd_vs_zero(beta, viol, sigma, cfg.risk.ker_wt,
+                       kind=cfg.risk.kernel)
 
 
 def mmd_lane(cfg: ProblemConfig, beta: jnp.ndarray, sigma: jnp.ndarray,
              y_roll: jnp.ndarray) -> jnp.ndarray:
     """Ref: costs.py:121-135."""
     lb, ub = lane_bars(cfg, y_roll)
-    return (mmd_vs_zero(beta, lb, sigma, cfg.risk.ker_wt)
-            + mmd_vs_zero(beta, ub, sigma, cfg.risk.ker_wt))
+    return (mmd_vs_zero(beta, lb, sigma, cfg.risk.ker_wt,
+                        kind=cfg.risk.kernel)
+            + mmd_vs_zero(beta, ub, sigma, cfg.risk.ker_wt,
+                          kind=cfg.risk.kernel))
 
 
 def cvar_obs(cfg: ProblemConfig, x_roll: jnp.ndarray, y_roll: jnp.ndarray,
@@ -135,7 +138,7 @@ def mmd_lane_des(cfg: ProblemConfig, beta: jnp.ndarray, sigma: jnp.ndarray,
                  y_roll: jnp.ndarray) -> jnp.ndarray:
     """Ref: costs.py:73-87 (carla signature with per-candidate beta/sigma)."""
     return mmd_vs_zero(beta, lane_des_bar(cfg, y_roll), sigma,
-                       cfg.risk.ker_wt)
+                       cfg.risk.ker_wt, kind=cfg.risk.kernel)
 
 
 def cvar_lane_des(cfg: ProblemConfig, y_roll: jnp.ndarray) -> jnp.ndarray:

@@ -120,3 +120,61 @@ def test_blockwise_mmd_batched_matches_dense(rng):
     assert tiled_b.shape == (3,)
     np.testing.assert_allclose(np.asarray(tiled_b), np.asarray(dense_b),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_matern52_oracle(rng):
+    """Matern-5/2 (L1 radius, the reference's commented form,
+    kernel_computation.py:41-53) against a float64 numpy oracle."""
+    from mpc_mmd_tpu.kernels import matern52_kernel
+    A = rng.normal(0, 1, (6, 5))
+    d1 = np.abs(A[:, None, :] - A[None, :, :]).sum(-1)
+    d2 = ((A[:, None, :] - A[None, :, :]) ** 2).sum(-1)
+    sigma = 1.3
+    r1 = np.sqrt(5.0) * d1 / sigma
+    expected = (1.0 + r1 + 5.0 * d2 / (3.0 * sigma ** 2)) * np.exp(-r1)
+    got = np.asarray(matern52_kernel(jnp.asarray(d1), jnp.asarray(d2), sigma))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+    # unit diagonal, symmetric, bounded by 1 (kernel sanity)
+    np.testing.assert_allclose(np.diag(got), 1.0, atol=1e-6)
+    assert np.all(got <= 1.0 + 1e-6)
+
+
+def test_kernel_of_dispatch(rng):
+    from mpc_mmd_tpu.kernels import kernel_of, matern52_kernel
+    d1 = jnp.asarray(np.abs(rng.normal(0, 1, (4, 4))))
+    d2 = d1 * d1
+    np.testing.assert_array_equal(np.asarray(kernel_of("laplace", 2.0, d1)),
+                                  np.asarray(laplace_kernel(d1, 2.0)))
+    np.testing.assert_array_equal(
+        np.asarray(kernel_of("gaussian", 2.0, None, d2)),
+        np.asarray(gaussian_kernel(d2, 2.0)))
+    np.testing.assert_array_equal(
+        np.asarray(kernel_of("matern52", 2.0, d1, d2)),
+        np.asarray(matern52_kernel(d1, d2, 2.0)))
+    with pytest.raises(ValueError):
+        kernel_of("rbf", 2.0, d1, d2)
+
+
+@pytest.mark.parametrize("kind", ["gaussian", "matern52"])
+def test_mmd_vs_zero_kernel_variants_oracle(rng, kind):
+    """mmd_vs_zero under the selectable kernels (scalar samples: L2^2 is
+    the squared L1 distance) against a float64 numpy oracle."""
+    k = 8
+    beta = rng.normal(0, 1, k)
+    cost = np.abs(rng.normal(0, 1, k))
+    sigma, ker_wt = 1.7, 1000.0
+    d_aa = np.abs(cost[:, None] - cost[None, :])
+    d_ab = np.abs(cost)
+
+    def K(d):
+        if kind == "gaussian":
+            return np.exp(-d * d / (2 * sigma ** 2))
+        r1 = np.sqrt(5.0) * d / sigma
+        return (1 + r1 + 5 * d * d / (3 * sigma ** 2)) * np.exp(-r1)
+
+    # cross term: every K_ab column equals k(c_i, 0) and b_unif sums to 1
+    expected = ker_wt * (beta @ K(d_aa) @ beta
+                         - 2 * np.sum(beta * K(d_ab)))
+    got = float(mmd_vs_zero(jnp.asarray(beta), jnp.asarray(cost), sigma,
+                            ker_wt, kind=kind))
+    assert got == pytest.approx(expected, rel=2e-5, abs=1e-3)
