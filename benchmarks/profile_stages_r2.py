@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from mpc_mmd_tpu import static_workload
+from mpc_mmd_tpu import fastrt_workload, static_workload
 from mpc_mmd_tpu import risk as risk_mod
 from mpc_mmd_tpu.dynamics import (constant_velocity_obstacles,
                                   controls_from_trajectory)
@@ -28,7 +28,14 @@ from mpc_mmd_tpu.reduced_set import select_reduced_set_batched
 from mpc_mmd_tpu.sampling import cem_update, initial_params, scalar_cost
 from mpc_mmd_tpu.solver import _gather, batched_rollouts, resolve_rollout_backend
 
-cfg = static_workload(num_reduced=10, num_obs=6, num_prime=50, mode="mmd_opt")
+# PROFILE_PRESET=fastrt profiles the promoted operating point (outer 64x10
+# + inner 64x12 — VERDICT r4 item 3: the stage mix at the 27 ms solve);
+# default profiles the reference-budget program rounds 2-4 profiled.
+import os as _os
+_preset = _os.environ.get("PROFILE_PRESET", "default")
+_make = {"default": static_workload, "fastrt": fastrt_workload}[_preset]
+print("preset:", _preset, flush=True)
+cfg = _make(num_reduced=10, num_obs=6, num_prime=50, mode="mmd_opt")
 ws = build_workspace(cfg)
 backend = resolve_rollout_backend(cfg)
 print("backend:", backend, flush=True)
@@ -123,11 +130,12 @@ stages = ([int(s) for s in _sel.split(",")] if _sel else range(len(STAGES)))
 prev = 0.0
 for stage in stages:
     f = jax.jit(partial(loop, stage))
-    o = f(); o.block_until_ready()
+    o = f(); np.asarray(o)
     t0 = time.time()
     for _ in range(3):
         o = f()
-    o.block_until_ready()
+    np.asarray(o)     # value-fetch fence: block_until_ready has returned
+    #                 # early through the axon relay (CLAUDE.md timing note)
     ms = (time.time() - t0) / 3 * 1000
     print(f"stage {stage} ({STAGES[stage]:22s}): {ms:7.1f} ms/solve "
           f"(delta {ms - prev:+7.1f})", flush=True)

@@ -50,7 +50,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
               dispatch: str | None = None,
               inner_budget: tuple | None = None,
               outer_budget: tuple | None = None,
-              accept_all: bool = False) -> ResultStore:
+              accept_all: bool = False,
+              kernel: str = "laplace") -> ResultStore:
     """dispatch: "pipeline" (default; per-scenario async dispatch — measured
     6.12 vs 5.23 solves/s in bench.py and 2.93 vs 2.47 in-situ through the
     relay on v5e-lite, ~17-19% depending on measurement context), "batch"
@@ -87,6 +88,11 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         B_b, it_b = outer_budget
         cfg = cfg.replace(cem=_dc.replace(
             cfg.cem, num_batch=B_b, maxiter_cem=it_b))
+    if kernel != "laplace":
+        # selectable MMD kernel (RiskConfig.kernel; the reference ships
+        # gaussian/matern52 commented out, kernel_computation.py:21-53)
+        import dataclasses as _dc
+        cfg = cfg.replace(risk=_dc.replace(cfg.risk, kernel=kernel))
     solver = Solver(cfg)
 
     process_id, num_processes = 0, 1
@@ -133,6 +139,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         f"{mode}_S{inner_budget[0]}x{inner_budget[1]}"
     if outer_budget is not None:
         mode_tag += f"_B{outer_budget[0]}x{outer_budget[1]}"
+    if kernel != "laplace":
+        mode_tag += f"_K{kernel}"
     if accept_all:
         mode_tag += "_all"
     tag = (f"{workload}/{noise}_noise/noise_{round(noise_level * 100)}/"
@@ -148,6 +156,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         meta["outer_budget"] = list(outer_budget)
     if accept_all:
         meta["accept_all"] = True
+    if kernel != "laplace":
+        meta["kernel"] = kernel
     store = ResultStore(f"{out_root}/{tag}", meta=meta,
                         process_id=process_id, num_processes=num_processes)
 
@@ -282,6 +292,10 @@ def main(argv=None):
                    help="BxIT (e.g. 64x12): reduced outer-CEM budget "
                         "(num_batch x maxiter_cem; the fast operating "
                         "point; store tag gains a _B{B}x{IT} suffix)")
+    p.add_argument("--kernel", default="laplace",
+                   choices=["laplace", "gaussian", "matern52"],
+                   help="MMD kernel family (RiskConfig.kernel); non-laplace "
+                        "runs tag the store with _K{kernel}")
     p.add_argument("--accept_all", action="store_true",
                    help="persist EVERY solve (no acceptance threshold); "
                         "store tag gains an _all suffix — acceptance rules "
@@ -318,7 +332,7 @@ def main(argv=None):
                                 logger, args.heartbeat_every,
                                 args.heartbeat_timeout, args.dispatch,
                                 inner_budget, outer_budget,
-                                args.accept_all)
+                                args.accept_all, args.kernel)
                             n = sum(len(a["cx"]) for _, a in store.iter_chunks())
                             print(f"workload={args.workload} cost={mode} "
                                   f"reduced={n_red} obs={n_obs} ts={np_} "
