@@ -233,9 +233,10 @@ def main():
     headline = {
         "metric": "mmd_opt MPC solves/s (num_prime=50, 6 obs, reduced set"
                   " 10/100, certified combined budget B64x10+S64x12 —"
-                  " measured significantly safer than the reference budget,"
-                  " artifacts/fast/pooled.json; vs_baseline is SAME-budget:"
-                  " reference CPU at B64x10+S64x12)",
+                  " measured significantly safer than the reference budget"
+                  " in all 4 certified cells, artifacts/fast/pooled_r5.json;"
+                  " vs_baseline is SAME-budget: reference CPU at"
+                  " B64x10+S64x12)",
         "value": round(solves_per_s, 3),
         "unit": "solves/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
