@@ -326,6 +326,33 @@ def main():
             "realtime_n_trimmed": rt["n_trimmed"],
             "realtime_in_budget": bool(rt["p99_ms"] <= 150.0),
         })
+        # Per-chip BATCHED throughput at the measured-optimal multi-stream
+        # config (round 5: the multi-stream negative measured at the
+        # default budget REVERSES at fastrt's 2.4x smaller working set —
+        # chunk=4 x S=8 ran 42.8 solves/s vs 36.2 single-stream,
+        # benchmarks/fastrt_throughput_sweep.log).  One extra compiled
+        # program; wrapped so an OOM on an unexpected chip can't cost the
+        # record.
+        from mpc_mmd_tpu.solver import Solver as _Solver
+        S_b = int(os.environ.get("BENCH_BATCHED_S", "8"))
+        solver_b = _Solver(cfg, ws=solver.ws, scenario_chunk=int(
+            os.environ.get("BENCH_BATCHED_CHUNK", "4")))
+        xtb, ytb = scenarios(S_b)
+        seeds_b = jnp.arange(S_b, dtype=jnp.int32)
+        outb = solver_b.solve_batch(seeds_b, init_state, mean, cov, xtb,
+                                    ytb, 15.0)
+        np.asarray(outb.cx)
+        t0 = time.perf_counter()
+        for r in range(reps):
+            outb = solver_b.solve_batch(seeds_b + r * S_b, init_state, mean,
+                                        cov, xtb, ytb, 15.0)
+        np.asarray(outb.cx)
+        combined["batched_solves_per_s"] = round(
+            S_b * reps / (time.perf_counter() - t0), 3)
+        combined["batched_config"] = "chunk%d_S%d" % (
+            solver_b.scenario_chunk, S_b)
+        print(f"bench: batched ({combined['batched_config']}) "
+              f"{combined['batched_solves_per_s']} solves/s", file=sys.stderr)
     except Exception as e:
         print(f"bench: latency extras failed ({type(e).__name__}: {e})",
               file=sys.stderr)
