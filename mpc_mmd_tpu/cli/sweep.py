@@ -51,7 +51,8 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
               inner_budget: tuple | None = None,
               outer_budget: tuple | None = None,
               accept_all: bool = False,
-              kernel: str = "laplace") -> ResultStore:
+              kernel: str = "laplace",
+              scenario_chunk: int | None = None) -> ResultStore:
     """dispatch: "pipeline" (default; per-scenario async dispatch — measured
     6.12 vs 5.23 solves/s in bench.py and 2.93 vs 2.47 in-situ through the
     relay on v5e-lite, ~17-19% depending on measurement context), "batch"
@@ -93,7 +94,13 @@ def run_sweep(workload: str, mode: str, noise: str, noise_level: float,
         # gaussian/matern52 commented out, kernel_computation.py:21-53)
         import dataclasses as _dc
         cfg = cfg.replace(risk=_dc.replace(cfg.risk, kernel=kernel))
-    solver = Solver(cfg)
+    # scenario_chunk: concurrent scenarios per solve_batch program
+    # (dispatch=batch).  At the fastrt budget, --dispatch batch --chunk 8
+    # --scenario_chunk 4 measured a 200-config sweep in 56 s vs 99 s for
+    # the pipeline default (in-situ, v5e-lite, round 5) — the default
+    # budget's multi-stream HBM negative reverses at the smaller working
+    # set (benchmarks/PROFILE_NOTES.md round 5).
+    solver = Solver(cfg, scenario_chunk=scenario_chunk)
 
     process_id, num_processes = 0, 1
     if dispatch == "mesh":
@@ -292,6 +299,12 @@ def main(argv=None):
                    help="BxIT (e.g. 64x12): reduced outer-CEM budget "
                         "(num_batch x maxiter_cem; the fast operating "
                         "point; store tag gains a _B{B}x{IT} suffix)")
+    p.add_argument("--scenario_chunk", type=int, default=None,
+                   help="concurrent scenarios inside each solve_batch "
+                        "program (dispatch=batch; default: env "
+                        "MPC_MMD_SCENARIO_CHUNK or 1).  fastrt-budget "
+                        "sweeps measured fastest at --dispatch batch "
+                        "--chunk 8 --scenario_chunk 4")
     p.add_argument("--kernel", default="laplace",
                    choices=["laplace", "gaussian", "matern52"],
                    help="MMD kernel family (RiskConfig.kernel); non-laplace "
@@ -332,7 +345,8 @@ def main(argv=None):
                                 logger, args.heartbeat_every,
                                 args.heartbeat_timeout, args.dispatch,
                                 inner_budget, outer_budget,
-                                args.accept_all, args.kernel)
+                                args.accept_all, args.kernel,
+                                args.scenario_chunk)
                             n = sum(len(a["cx"]) for _, a in store.iter_chunks())
                             print(f"workload={args.workload} cost={mode} "
                                   f"reduced={n_red} obs={n_obs} ts={np_} "
