@@ -20,9 +20,9 @@ ARMS = ("mmd_opt", "fastrt64x10", "cvar")
 PROMOTED = {"fastrt64x10"}
 CELLS = (
     ("static beta 0.2, N=5",
-     "stats_cert/beta_noise/noise_20/ts_50/5_samples_6_obs.npz"),
+     "stats_cert_r5/beta_noise/noise_20/ts_50/5_samples_6_obs.npz"),
     ("static beta 0.3, N=5",
-     "stats_cert/beta_noise/noise_30/ts_50/5_samples_6_obs.npz"),
+     "stats_cert_r5/beta_noise/noise_30/ts_50/5_samples_6_obs.npz"),
     ("static gauss 0.1, N=5",
      "stats_cert/gaussian_noise/noise_10/ts_50/5_samples_6_obs.npz"),
     ("dynamic beta 0.3, N=5",

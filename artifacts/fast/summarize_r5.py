@@ -21,9 +21,24 @@ sys.path.insert(0, os.path.join(HERE, "..", ".."))
 
 from mpc_mmd_tpu.cli.validate import paired_stats          # noqa: E402
 
+# Beta cells: prefer the uniform-protocol 3-arm 1200-config joins
+# (stats_cert_r5/, run_cert_r5_ext3.sh) over the round-4 7-arm
+# 600-config joins (stats_cert/ — kept for pooled.json reproduction);
+# fall back to the 7-arm stats when the extension has not run.
+import os as _os
+_H = _os.path.dirname(_os.path.abspath(__file__))
+
+
+def _beta(noise):
+    r5 = f"stats_cert_r5/beta_noise/noise_{noise}/ts_50/5_samples_6_obs.npz"
+    if _os.path.exists(_os.path.join(_H, r5)):
+        return r5
+    return f"stats_cert/beta_noise/noise_{noise}/ts_50/5_samples_6_obs.npz"
+
+
 CELLS = (
-    ("static-beta0.2", "stats_cert/beta_noise/noise_20/ts_50/5_samples_6_obs.npz"),
-    ("static-beta0.3", "stats_cert/beta_noise/noise_30/ts_50/5_samples_6_obs.npz"),
+    ("static-beta0.2", _beta(20)),
+    ("static-beta0.3", _beta(30)),
     ("static-gauss0.1", "stats_cert/gaussian_noise/noise_10/ts_50/5_samples_6_obs.npz"),
     ("dynamic-beta0.3", "stats_cert_dyn/beta_noise/noise_30/ts_50/5_samples_6_obs.npz"),
 )
